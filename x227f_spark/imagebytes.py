@@ -1,0 +1,250 @@
+"""Image byte-level primitives: format sniffing, header dimension reads,
+data-URI parsing, content hashing — plus deterministic synthesis of minimal
+valid images for the test corpus.
+
+The container has no imaging libraries, and the reference only ever needs
+*header* information (format + dimensions) plus a hash, so everything here is
+pure magic-byte parsing — which is also the fast path at scale (no decode).
+
+Reference cites:
+- format sniffing (X3):  /root/reference/src/scrape/image.rs:387,408
+  (``image::guess_format`` — magic bytes)
+- 88x31 validation (F10): /root/reference/src/scrape/image.rs:530-536
+  (tri-state: None when undecodable)
+- sha256-trunc32 (U8):    /root/reference/src/scrape/image.rs:184-191
+- data-URI parse (S7):    /root/reference/src/scrape/image.rs:420-454
+- re-encode (X2):         /root/reference/src/scrape/image.rs:193-267 —
+  jpeg/webp/avif/bmp are byte-passthrough; the synthetic corpus uses only
+  passthrough formats so hashes are pinned on source bytes (SURVEY §2 X2).
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+import zlib
+from urllib.parse import unquote_to_bytes
+
+# ---------------------------------------------------------------------------
+# X3 — format sniffing from magic bytes
+# ---------------------------------------------------------------------------
+
+def guess_format(data: bytes) -> str | None:
+    if len(data) < 12:
+        return None
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[4:12] in (b"ftypavif", b"ftypavis"):
+        return "avif"
+    return None
+
+
+_FORMAT_EXT = {"png": "png", "gif": "gif", "jpeg": "jpg", "webp": "webp",
+               "bmp": "bmp", "avif": "avif"}
+
+
+def format_extension(fmt: str) -> str:
+    """image.rs:160 — ``format.extensions_str()[0]`` equivalents."""
+    return _FORMAT_EXT.get(fmt, fmt)
+
+
+_MIME_FORMAT = {
+    "image/png": "png",
+    "image/jpeg": "jpeg",
+    "image/jpg": "jpeg",
+    "image/gif": "gif",
+    "image/webp": "webp",
+    "image/avif": "avif",
+    "image/bmp": "bmp",
+    "image/x-ms-bmp": "bmp",
+}
+
+
+def mimetype_to_format(mimetype: str) -> str | None:
+    """U9 — image.rs:508-526."""
+    mt = mimetype.split(";")[0].strip()
+    return _MIME_FORMAT.get(mt)
+
+
+# ---------------------------------------------------------------------------
+# F10 — header dimension extraction (tri-state)
+# ---------------------------------------------------------------------------
+
+def image_dimensions(data: bytes, fmt: str | None = None) -> tuple[int, int] | None:
+    fmt = fmt or guess_format(data)
+    try:
+        if fmt == "png":
+            if data[12:16] != b"IHDR" or len(data) < 24:
+                return None
+            w, h = struct.unpack(">II", data[16:24])
+            return (w, h)
+        if fmt == "gif":
+            if len(data) < 10:
+                return None
+            w, h = struct.unpack("<HH", data[6:10])
+            return (w, h)
+        if fmt == "bmp":
+            if len(data) < 26:
+                return None
+            w, h = struct.unpack("<ii", data[18:26])
+            return (w, abs(h))
+        if fmt == "jpeg":
+            return _jpeg_dimensions(data)
+        if fmt == "webp":
+            return _webp_dimensions(data)
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def _jpeg_dimensions(data: bytes) -> tuple[int, int] | None:
+    i = 2
+    n = len(data)
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+            return (w, h)
+        i += 2 + seg_len
+    return None
+
+
+def _webp_dimensions(data: bytes) -> tuple[int, int] | None:
+    chunk = data[12:16]
+    if chunk == b"VP8X" and len(data) >= 30:
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return (w, h)
+    if chunk == b"VP8 " and len(data) >= 30:
+        w, h = struct.unpack("<HH", data[26:30])
+        return (w & 0x3FFF, h & 0x3FFF)
+    if chunk == b"VP8L" and len(data) >= 25:
+        b = struct.unpack("<I", data[21:25])[0]
+        return ((b & 0x3FFF) + 1, ((b >> 14) & 0x3FFF) + 1)
+    return None
+
+
+def validate_image_size(data: bytes, fmt: str | None = None) -> bool | None:
+    """F10 — image.rs:530-536: True/False/None (undecodable)."""
+    dims = image_dimensions(data, fmt)
+    if dims is None:
+        return None
+    return dims == (88, 31)
+
+
+# ---------------------------------------------------------------------------
+# U8 — content hash
+# ---------------------------------------------------------------------------
+
+def hash_image(data: bytes) -> str:
+    """image.rs:184-191 — hex(sha256)[:32]."""
+    import hashlib
+
+    return hashlib.sha256(data).hexdigest()[:32]
+
+
+# ---------------------------------------------------------------------------
+# S7 — data-URI parsing
+# ---------------------------------------------------------------------------
+
+def parse_data_uri(opaque: str) -> tuple[bytes, str | None] | None:
+    """image.rs:420-454 — returns (bytes, format) or None on invalid URI.
+
+    ``opaque`` is everything after ``data:``.
+    """
+    if "," not in opaque:
+        return None
+    mediatype_and_encoding, data = opaque.split(",", 1)
+    if ";" in mediatype_and_encoding:
+        mediatype, encoding = mediatype_and_encoding.rsplit(";", 1)
+    else:
+        mediatype, encoding = mediatype_and_encoding, ""
+    if not mediatype:
+        mediatype = "text/plain;charset=US-ASCII"
+    raw = unquote_to_bytes(data)
+    if encoding == "base64":
+        try:
+            raw = base64.b64decode(raw, validate=True)
+        except Exception:
+            return None
+    return (raw, mimetype_to_format(mediatype))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthesis of minimal valid images (corpus generator)
+# ---------------------------------------------------------------------------
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal truecolor PNG with a seed-dependent pixel payload."""
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = bytes([0]) + bytes(
+        ((seed * 31 + x * 7 + c) % 256) for x in range(width) for c in range(3)
+    )
+    raw = row * height
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal GIF87a header + trailer; enough for header sniffing and
+    deterministic hashing (we never decode pixel data)."""
+    header = b"GIF87a" + struct.pack("<HH", width, height) + bytes([0x80, 0, 0])
+    palette = bytes(((seed + i) % 256) for i in range(6))
+    return header + palette + b"\x3b"
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal BMP (BITMAPINFOHEADER, 24bpp)."""
+    row_size = (width * 3 + 3) & ~3
+    pixel_bytes = bytes(
+        ((seed * 17 + i) % 256) for i in range(row_size * height)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixel_bytes), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixel_bytes), 2835, 2835, 0, 0)
+    )
+    return header + pixel_bytes
+
+
+def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """Header-valid JPEG (SOI + SOF0 + seeded comment + EOI). Dimension
+    sniffers see (width,height); we never pixel-decode."""
+    comment = bytes(((seed * 13 + i) % 256) for i in range(16))
+    com_seg = b"\xff\xfe" + struct.pack(">H", len(comment) + 2) + comment
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8, 8, height, width, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + com_seg + sof + b"\xff\xd9"
+
+
+MAKERS = {"png": make_png, "gif": make_gif, "bmp": make_bmp, "jpeg": make_jpeg}
+
+
+def make_image(fmt: str, width: int, height: int, seed: int = 0) -> bytes:
+    return MAKERS[fmt](width, height, seed)
