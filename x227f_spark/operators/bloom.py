@@ -1,0 +1,100 @@
+"""J2 — broadcast Bloom filter fronting the exact seen-set anti-join.
+
+The north_rule's admission design: a Bloom filter prunes the big anti-join,
+the salted-hash-partitioned anti-join provides exactness (SURVEY.md §4).
+Rows the Bloom rejects are *definitely new* and skip the join entirely; rows
+it accepts go through the exact left-anti join. The filter is therefore an
+optimization only — false positives cost a join probe, never correctness.
+
+Implementation: k xxhash64 hash functions computed JVM-side
+(``F.xxhash64`` with per-hash seed columns), bit positions collected into a
+packed numpy bitmap, broadcast to executors, membership tested by a
+vectorized pandas UDF (numpy fancy indexing — no per-row Python).
+
+Scale note (10^10 keys): a single 1%-FPR bloom is ~12 GB — too big to
+broadcast whole. The production path shards the bitmap by
+``pmod(xxhash64(key), n_shards)`` and broadcasts the shard alongside its
+key-range partition; the code below is the single-shard instance of that
+design and the anti-join behind it is unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+class BloomFilter:
+    def __init__(self, bits: np.ndarray, m: int, k: int, broadcast):
+        self.bits = bits
+        self.m = m
+        self.k = k
+        self._broadcast = broadcast
+
+    def _position_cols(self, key: Column) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(F.lit(i), key), F.lit(self.m)).alias(f"_bloom_pos{i}")
+            for i in range(self.k)
+        ]
+
+    def might_contain(self, df: DataFrame, key: Column) -> DataFrame:
+        """Adds a boolean ``_bloom_hit`` column."""
+        bc = self._broadcast
+        k = self.k
+
+        @pandas_udf("boolean")
+        def _probe(*pos_cols: pd.Series) -> pd.Series:
+            bits = bc.value
+            hit = np.ones(len(pos_cols[0]), dtype=bool)
+            for p in pos_cols:
+                idx = p.to_numpy(dtype=np.int64)
+                hit &= (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 == 1
+            return pd.Series(hit)
+
+        pos_names = [f"_bloom_pos{i}" for i in range(k)]
+        df = df.withColumns(dict(zip(pos_names, self._position_cols(key))))
+        df = df.withColumn("_bloom_hit", _probe(*[F.col(n) for n in pos_names]))
+        return df.drop(*pos_names)
+
+
+def build_bloom(df: DataFrame, key: Column, expected: int,
+                fpp: float = 0.01) -> BloomFilter:
+    """Build a broadcast Bloom filter over ``key`` of ``df``."""
+    expected = max(expected, 16)
+    m = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / expected * math.log(2)))
+    k = min(k, 8)
+    pos_rows = (
+        df.select(F.explode(F.array(*[
+            F.pmod(F.xxhash64(F.lit(i), key), F.lit(m)) for i in range(k)
+        ])).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros((m >> 3) + 1, dtype=np.uint8)
+    if pos_rows:
+        idx = np.fromiter((r["pos"] for r in pos_rows), dtype=np.int64)
+        np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bits)
+    return BloomFilter(bits, m, k, bc)
+
+
+def anti_join_new(targets: DataFrame, key_col: str, seen: DataFrame,
+                  seen_key: str, bloom: BloomFilter | None) -> DataFrame:
+    """Rows of ``targets`` whose key is NOT in ``seen`` — Bloom-fronted
+    exact anti-join (P2/J2, data.rs:195-208 membership semantics)."""
+    if bloom is None:
+        return targets.join(seen.select(F.col(seen_key).alias(key_col)),
+                            key_col, "left_anti")
+    probed = bloom.might_contain(targets, F.col(key_col))
+    definitely_new = probed.where(~F.col("_bloom_hit")).drop("_bloom_hit")
+    maybe_seen = probed.where(F.col("_bloom_hit")).drop("_bloom_hit")
+    checked = maybe_seen.join(
+        seen.select(F.col(seen_key).alias(key_col)), key_col, "left_anti")
+    return definitely_new.unionByName(checked)

@@ -1,0 +1,65 @@
+"""G2/G3 — weighted PageRank as a join-aggregate (pagerank.rs:103-120).
+
+One iteration::
+
+    new[dst] = 0.15 + 0.85 * Σ_src( score[src] / outdeg[src] * weight )
+
+Parity-critical semantics (pagerank.rs:36-101):
+- ``outdeg`` counts **all** of a node's links, including self-links and
+  duplicates (pagerank.rs:50,78)
+- self-links are excluded from inbound contributions (pagerank.rs:52-55)
+- nodes with no inbound end at exactly 0.15; brand-new nodes start at 1.0
+  (pagerank.rs:27-31)
+
+The edges DataFrame is the raw link list (self-links included) so outdeg can
+be derived here. Lineage is cut with ``localCheckpoint`` every few
+iterations — 50 chained joins at bootstrap (data.rs:166-169) would otherwise
+blow up plan compilation; on a cluster this is where you'd
+``spark.sparkContext.setCheckpointDir`` to reliable storage instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_iterations(nodes: DataFrame, edges: DataFrame, scores: DataFrame,
+                        iterations: int, damping: float = 0.85,
+                        checkpoint_every: int = 8) -> DataFrame:
+    """nodes(node_id) · edges(src,dst,weight) · scores(node_id,score) →
+    scores after ``iterations`` sweeps. New nodes (absent from ``scores``)
+    start at 1.0."""
+    base = 1.0 - damping
+
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib_edges = (
+        edges.where(F.col("src") != F.col("dst"))
+        .join(outdeg, "src")
+        .select("src", "dst", (F.col("weight") / F.col("outdeg")).alias("frac"))
+    )
+    # reused every iteration — persist once
+    contrib_edges = contrib_edges.localCheckpoint(eager=True)
+
+    scores = (
+        nodes.join(scores, "node_id", "left")
+        .select("node_id", F.coalesce("score", F.lit(1.0)).alias("score"))
+    )
+
+    for i in range(iterations):
+        sums = (
+            contrib_edges.join(scores, contrib_edges["src"] == scores["node_id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("frac") * F.col("score")).alias("s"))
+        )
+        scores = (
+            nodes.join(sums, nodes["node_id"] == sums["dst"], "left")
+            .select(
+                "node_id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                 ).alias("score"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            scores = scores.localCheckpoint(eager=True)
+    return scores.localCheckpoint(eager=True)

@@ -1,0 +1,591 @@
+"""P3/P4/P5 — the crawl round loop: plan → schedule → fetch → commit.
+
+One ``run_round()`` call is the distributed equivalent of one 15-second
+iteration of the reference's main loop (main.rs:151-189) plus the work its
+100 crawl tasks do in that window (main.rs:192-298), expressed as pure
+DataFrame algebra + the Arrow-UDF fetch stage (operators/fetch.py), committed
+atomically through the snapshot StateStore (catalog.py) so a killed job
+resumes mid-crawl (P5, data.rs:104-114).
+
+Determinism contract (SURVEY.md §4): every order-sensitive step goes through
+explicit ``orderBy``/window ordinals with pinned tie-breaks — (score desc,
+node_id asc) for ranking, queue_pos for scheduling, (crawl_pos, link_class,
+link_ord) for node-id assignment — so the same input produces byte-identical
+state at any parallelism (the scaling-invariance test relies on this).
+
+Known-unreachable reference path deliberately omitted: J3 redirect-dedup
+(main.rs:209-217) can never fire because download_page's basic redirect
+(P6, page.rs:128-137) only follows targets with an *equal* PageId and the
+HTTP client never auto-follows (mod.rs:24), so the fetched URL's PageId
+always equals the queued one. The golden model keeps the check; the engine
+drops the dead join.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+from datetime import timedelta
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..constants import EngineConfig
+from ..model import VIRTUAL_EPOCH
+from ..operators import fetch as fetch_ops
+from ..operators.bloom import anti_join_new, build_bloom
+from ..operators.pagerank import pagerank_iterations
+from ..sources.catalog import StateStore
+from ..functions.urlnorm import (
+    hosts_list_contains_col,
+    page_id_udf,
+    url_host,
+)
+from ..urlutil import Url, hosts_list_contains, page_id_of
+
+import pandas as pd
+
+SCHEMAS = {
+    "pages": ("page_id string, url string, last_visited timestamp, failed int, "
+              "redirects_to string, internal_links array<string>, "
+              "buttons array<struct<ord:int,source:string,hash:string,"
+              "file_ext:string,target:string,last_visited:timestamp,"
+              "alt:string,title:string>>"),
+    "seen": "page_id string, node_id long, first_seen_round int",
+    "discovered": "node_id long, url string",
+    "edges": "src long, dst long, weight double",
+    "scores": "node_id long, score double",
+    "queue": "queue_pos long, url string, page_id string, host string",
+    "button_cache": ("url string, hash string, file_ext string, "
+                     "last_visited timestamp"),
+    "trace": "round int, seq long, page_id string, host string, action string",
+    "metrics": ("round int, admitted long, fetched long, failed long, "
+                "queue_size long, seen_size long, duration_ms long"),
+}
+
+APPEND_TABLES = {"seen", "trace", "metrics"}
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, corpus_dir: str, state_dir: str,
+                 config: EngineConfig | None = None,
+                 starting_point: str | None = None):
+        self.spark = spark
+        self.cfg = config or EngineConfig()
+        if starting_point is not None:
+            self.cfg = replace(self.cfg, starting_point=starting_point)
+        self.store = StateStore(spark, state_dir)
+
+        http = spark.read.parquet(f"{corpus_dir}/http.parquet")
+        docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        self.corpus = (
+            http.join(docs, http["url"] == docs["doc_id"], "left")
+            .select("url", "status", "content_type", "redirect_to",
+                    "body_len", "spans")
+        )
+        images = spark.read.parquet(f"{corpus_dir}/images.parquet")
+        self.resolved_images = (
+            fetch_ops.resolve_image_redirects(images).localCheckpoint(eager=True)
+        )
+        self._extract_udf = fetch_ops.make_extract_udf(self.cfg)
+        cfg = self.cfg
+
+        @pandas_udf("int")
+        def host_budget_udf(hosts: pd.Series) -> pd.Series:
+            return hosts.map(lambda h: cfg.host_budget(h or ""))
+
+        self._host_budget_udf = host_budget_udf
+
+    # -- state access -------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return self.store.read(name, SCHEMAS[name])
+
+    def _now(self, round_no: int):
+        return VIRTUAL_EPOCH + timedelta(
+            seconds=round_no * self.cfg.round_seconds)
+
+    # -- bootstrap (data.rs:117-178) -----------------------------------------
+    def _bootstrap(self) -> None:
+        if self.store.round > 0 or self.store.exists("queue"):
+            return
+        sp = self.cfg.starting_point
+        u = Url.parse(sp)
+        host = u.host if u else ""
+        staged: dict[str, DataFrame] = {}
+        if not hosts_list_contains(self.cfg.banned_hosts, host):
+            pid = page_id_of(sp)
+            staged["queue"] = self.spark.createDataFrame(
+                [(0, sp, pid, host)], SCHEMAS["queue"])
+            seen_new = self.spark.createDataFrame(
+                [(pid, 0, 0)], SCHEMAS["seen"])
+        else:
+            staged["queue"] = self.spark.createDataFrame([], SCHEMAS["queue"])
+            seen_new = self.spark.createDataFrame([], SCHEMAS["seen"])
+        self.store.commit(0, staged, {"seen": seen_new})
+
+    # -- one round ------------------------------------------------------------
+    def run_round(self) -> dict:
+        t0 = time.monotonic()
+        self._bootstrap()
+        r = self.store.round + 1
+        cfg = self.cfg
+        now = self._now(r)
+        now_epoch = int(now.timestamp())
+
+        pages = self.table("pages")
+        seen = self.table("seen")
+        discovered = self.table("discovered")
+        edges = self.table("edges")
+        scores = self.table("scores")
+        queue = self.table("queue")
+        cache = self.table("button_cache")
+
+        # ---- rank: G2 (data.rs:166-169, 216-218) -------------------------
+        iters = cfg.bootstrap_pr_iters if r == 1 else cfg.round_pr_iters
+        nodes = seen.select("node_id")
+        scores = pagerank_iterations(nodes, edges, scores, iters)
+
+        # ---- refresh_queue: T1/T2/F11/F12 (data.rs:210-292) ---------------
+        queue_len = queue.count()
+        pg = pages.select(
+            "page_id", F.col("url").alias("pg_url"),
+            F.col("last_visited").alias("pg_lv"), F.col("failed").alias("pg_failed"))
+        cand = (
+            scores.where(F.col("score") >= cfg.required_score)
+            .join(seen.select("page_id", "node_id"), "node_id")
+            .join(queue.select("page_id"), "page_id", "left_anti")
+            .join(pg, "page_id", "left")
+            .join(discovered.select("node_id", F.col("url").alias("disc_url")),
+                  "node_id", "left")
+        )
+        backoff_due = (F.col("pg_lv").cast("long")
+                       + 3600 * F.pow(F.lit(2.0), F.col("pg_failed") - 1)
+                       < F.lit(now_epoch))
+        interval_hours = F.when(F.col("score") > cfg.popular_score,
+                                F.lit(cfg.recrawl_popular_hours)) \
+                          .otherwise(F.lit(cfg.recrawl_hours))
+        recrawl_due = (F.col("pg_lv").cast("long") + 3600 * interval_hours
+                       < F.lit(now_epoch))
+        due = F.when(F.col("pg_url").isNotNull(),
+                     F.when(F.col("pg_failed") > 0, backoff_due)
+                     .otherwise(recrawl_due)) \
+               .otherwise(F.col("disc_url").isNotNull())
+        cand = cand.where(due).withColumn(
+            "cand_url", F.coalesce("pg_url", "disc_url"))
+        n_cand = cand.count()
+        # collection-loop cap semantics (data.rs:271-274): break *after* the
+        # push that crosses the cap
+        if n_cand + queue_len > cfg.queue_cap:
+            limit_n = max(cfg.queue_cap - queue_len, 0) + 1
+        else:
+            limit_n = n_cand
+        w_rank = W.orderBy(F.desc("score"), F.asc("node_id"))
+        adding = (cand.withColumn("add_pos", F.row_number().over(w_rank))
+                  .where(F.col("add_pos") <= limit_n)
+                  .localCheckpoint(eager=True))
+        max_pos_row = queue.agg(F.max("queue_pos")).first()[0]
+        max_pos = max_pos_row if max_pos_row is not None else -1
+        add_host = url_host(F.col("cand_url"))
+        new_entries = (
+            adding.where(~hosts_list_contains_col(add_host, cfg.banned_hosts))
+            .select((F.lit(max_pos) + F.col("add_pos")).alias("queue_pos"),
+                    F.col("cand_url").alias("url"), "page_id",
+                    add_host.alias("host"))
+        )
+        queue2 = queue.unionByName(new_entries)
+        # consume scheduled unvisited urls (data.rs:262-268), even when the
+        # subsequent add was dropped as banned
+        discovered = discovered.join(
+            adding.where(F.col("pg_url").isNull()).select("node_id"),
+            "node_id", "left_anti")
+
+        # ---- schedule: T3 + P1 (data.rs:418-439, ratelimiter.rs) ----------
+        w_host = W.partitionBy("host").orderBy("queue_pos")
+        w_global = W.orderBy("queue_pos")
+        sel = (
+            queue2.withColumn("budget", self._host_budget_udf(F.col("host")))
+            .withColumn("hr", F.row_number().over(w_host))
+            .where(F.col("hr") <= F.col("budget"))
+            .withColumn("gr", F.row_number().over(w_global))
+            .where(F.col("gr") <= cfg.fetch_cap)
+        )
+        selected = sel.select(
+            "queue_pos", "url", "page_id", "host",
+            (F.col("gr") - 1).cast("long").alias("crawl_pos"),
+        ).localCheckpoint(eager=True)
+        n_selected = selected.count()
+        queue_after = queue2.join(selected.select("queue_pos"),
+                                  "queue_pos", "left_anti")
+
+        if n_selected == 0:
+            staged = {"discovered": discovered, "scores": scores,
+                      "queue": queue_after}
+            dur = int((time.monotonic() - t0) * 1000)
+            m = self._metrics_row(r, 0, 0, 0, queue_after, seen, dur)
+            self.store.commit(r, staged, {"metrics": m})
+            return {"round": r, "admitted": 0, "fetched": 0, "failed": 0}
+
+        # ---- fetch + extract (operators/fetch.py) --------------------------
+        fetched, errors, btns = self._fetch(selected, cache, now)
+
+        # ---- commit ---------------------------------------------------------
+        staged, appended, counts = self._commit_plan(
+            r, now, selected, n_selected, fetched, errors, btns,
+            pages, seen, discovered, edges, scores, queue_after, cache)
+        dur = int((time.monotonic() - t0) * 1000)
+        m = self._metrics_row(r, n_selected, counts[0], counts[1],
+                              queue_after, staged.pop("_seen_all"), dur)
+        appended["metrics"] = m
+        self.store.commit(r, staged, appended)
+        return {"round": r, "admitted": n_selected, "fetched": counts[0],
+                "failed": counts[1]}
+
+    # ------------------------------------------------------------------
+    def _metrics_row(self, r, admitted, fetched_n, failed_n, queue_df, seen_df,
+                     dur_ms) -> DataFrame:
+        q = queue_df.count()
+        s = seen_df.count()
+        return self.spark.createDataFrame(
+            [(r, admitted, fetched_n, failed_n, q, s, dur_ms)],
+            SCHEMAS["metrics"])
+
+    # ------------------------------------------------------------------
+    def _fetch(self, selected: DataFrame, cache: DataFrame, now):
+        """Fetch+extract the selected URLs. Returns (fetched_pages DF,
+        error rows DF, kept-buttons DF)."""
+        cfg = self.cfg
+        corp1 = self.corpus.select(
+            F.col("url").alias("c_url1"), F.col("status").alias("status1"),
+            F.col("content_type").alias("ct1"),
+            F.col("redirect_to").alias("rt1"),
+            F.col("body_len").alias("bl1"), F.col("spans").alias("spans1"))
+        corp2 = self.corpus.select(
+            F.col("url").alias("c_url2"), F.col("status").alias("status2"),
+            F.col("content_type").alias("ct2"),
+            F.col("redirect_to").alias("rt2"),
+            F.col("body_len").alias("bl2"), F.col("spans").alias("spans2"))
+
+        f1 = selected.join(corp1, selected["url"] == corp1["c_url1"], "left")
+        f1 = f1.withColumn(
+            "p6", fetch_ops.p6_target_udf(F.col("url"), F.col("status1"),
+                                          F.col("rt1")))
+        f2 = f1.join(corp2, f1["p6"] == corp2["c_url2"], "left")
+        has_p6 = F.col("p6").isNotNull()
+        f2 = f2.select(
+            "queue_pos", "url", "page_id", "host", "crawl_pos",
+            F.coalesce("p6", "url").alias("res_url"),
+            F.when(has_p6, F.col("c_url2").isNotNull())
+             .otherwise(F.col("c_url1").isNotNull()).alias("found"),
+            F.when(has_p6, F.col("status2")).otherwise(F.col("status1"))
+             .alias("status"),
+            F.when(has_p6, F.col("ct2")).otherwise(F.col("ct1")).alias("ct"),
+            F.when(has_p6, F.col("rt2")).otherwise(F.col("rt1")).alias("rt"),
+            F.when(has_p6, F.col("bl2")).otherwise(F.col("bl1")).alias("bl"),
+            F.when(has_p6, F.col("spans2")).otherwise(F.col("spans1"))
+             .alias("spans"),
+        )
+        f2 = f2.withColumn(
+            "redirect_target",
+            fetch_ops.redirect_target_udf(F.col("res_url"), F.col("status"),
+                                          F.col("rt")))
+        ct_eff = F.coalesce("ct", F.lit("text/html"))
+        is_html_ct = (ct_eff.startswith("text/html")
+                      | ct_eff.startswith("application/xhtml"))
+        ok_status = (F.col("status") >= 200) & (F.col("status") < 300)
+        subkind = (
+            F.when(~F.col("found"), F.lit("error"))
+            .when(F.col("redirect_target").isNotNull(), F.lit("redirect"))
+            .when(~ok_status, F.lit("empty"))
+            .when(~is_html_ct, F.lit("error"))
+            .when(F.col("bl") > 10 * 1024 * 1024, F.lit("empty"))
+            .otherwise(F.lit("html"))
+        )
+        f2 = f2.withColumn("subkind", subkind).localCheckpoint(eager=True)
+
+        errors = f2.where(F.col("subkind") == "error")
+        page_rows = f2.where(F.col("subkind") != "error")
+
+        # extraction over salted host partitions (skew: SURVEY §4 item 2)
+        html = page_rows.where(F.col("subkind") == "html")
+        html = html.repartition(
+            self.cfg.shuffle_partitions, F.col("host"),
+            F.pmod(F.xxhash64("url"), F.lit(8)))
+        ext = html.withColumn(
+            "ext", self._extract_udf(F.col("spans"), F.col("res_url"))
+        ).select("crawl_pos",
+                 F.col("ext.candidates").alias("candidates"),
+                 F.col("ext.internal_links").alias("internal_links"))
+        ext = ext.localCheckpoint(eager=True)
+
+        # ---- image pipeline ------------------------------------------------
+        cand = ext.select(
+            "crawl_pos", F.explode("candidates").alias("c")
+        ).select("crawl_pos", F.col("c.ord").alias("ord"),
+                 F.col("c.src").alias("src"),
+                 F.col("c.image_url").alias("image_url"),
+                 F.col("c.alt").alias("alt"), F.col("c.title").alias("title"),
+                 F.col("c.href").alias("href"))
+        cand = cand.join(
+            F.broadcast(cache.select(F.col("url").alias("image_url"),
+                                     F.col("hash").alias("c_hash"),
+                                     F.col("file_ext").alias("c_ext"),
+                                     F.col("last_visited").alias("c_last"))),
+            "image_url", "left")
+        ttl_sec = cfg.button_ttl_hours * 3600
+        cand = cand.withColumn(
+            "cache_fresh",
+            F.col("c_last").isNotNull()
+            & (F.col("c_last").cast("long") + ttl_sec
+               > F.lit(int(now.timestamp()))))
+        cand = cand.withColumn("requesting",
+                               fetch_ops.bypass_url_udf(F.col("image_url")))
+        cand = cand.withColumn("was_transformed",
+                               F.col("requesting") != F.col("image_url"))
+        res = self.resolved_images
+        cand = cand.join(res, cand["requesting"] == res["url"], "left") \
+                   .drop(res["url"])
+        cand = cand.withColumn("img_joined", F.col("f_status").isNotNull()
+                               | F.col("f_found").isNotNull())
+        v = fetch_ops.validate_image_udf(
+            F.col("image_url"), F.col("img_joined"), F.col("f_found"),
+            F.col("f_status"), F.col("f_content_type"), F.col("f_bytes"),
+            F.col("f_declared_len"), F.col("f_final_url"),
+            F.col("was_transformed"))
+        cand = cand.withColumn("v", v).select(
+            "crawl_pos", "ord", "image_url", "href", "alt", "title",
+            "cache_fresh", "c_hash", "c_ext", "c_last",
+            F.col("v.disposition").alias("disposition"),
+            F.col("v.hash").alias("hash"),
+            F.col("v.file_ext").alias("file_ext"),
+            F.col("v.source").alias("source"),
+            F.lit(now).alias("now"))
+        btns = fetch_ops.budget_pass(cand).localCheckpoint(eager=True)
+
+        buttons_by_page = btns.groupBy("crawl_pos").agg(
+            F.sort_array(F.collect_list(F.struct(
+                "ord", "source", "hash", "file_ext", "target",
+                "last_visited", "alt", "title"))).alias("buttons"))
+
+        fetched = (
+            page_rows
+            .join(ext.select("crawl_pos", "internal_links"), "crawl_pos", "left")
+            .join(buttons_by_page, "crawl_pos", "left")
+            .select(
+                "crawl_pos", "page_id", "host", "res_url",
+                F.when(F.col("subkind") == "redirect", F.col("redirect_target"))
+                 .alias("redirects_to"),
+                F.coalesce("internal_links",
+                           F.array().cast("array<string>")).alias("internal_links"),
+                F.coalesce("buttons", F.array().cast(
+                    "array<struct<ord:int,source:string,hash:string,"
+                    "file_ext:string,target:string,last_visited:timestamp,"
+                    "alt:string,title:string>>")).alias("buttons"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return fetched, errors.localCheckpoint(eager=True), btns
+
+    # ------------------------------------------------------------------
+    def _commit_plan(self, r, now, selected, n_selected, fetched, errors,
+                     btns, pages, seen, discovered, edges, scores,
+                     queue_after, cache):
+        cfg = self.cfg
+        spark = self.spark
+
+        # ---- button cache upsert (data.rs:302-315) -------------------------
+        new_cache = (
+            btns.where(F.col("source").isNotNull())
+            .groupBy(F.col("source").alias("url"))
+            .agg(F.max(F.struct("last_visited", "hash", "file_ext")).alias("s"))
+            .select("url", F.col("s.hash").alias("hash"),
+                    F.col("s.file_ext").alias("file_ext"),
+                    F.col("s.last_visited").alias("last_visited"))
+        )
+        cache2 = cache.join(new_cache.select("url"), "url", "left_anti") \
+                      .unionByName(new_cache)
+
+        # ---- pages merge (data.rs:298-326 + main.rs:271-287) ----------------
+        page_new = fetched.select(
+            "page_id", F.col("res_url").alias("url"),
+            F.lit(now).alias("last_visited"), F.lit(0).alias("failed"),
+            "redirects_to", "internal_links", "buttons")
+        err_new = errors.select("page_id", "url")
+        old = pages.alias("old")
+        upd = (old.join(page_new.alias("new"), "page_id")
+               .select("page_id", F.col("new.url").alias("url"),
+                       F.col("new.last_visited").alias("last_visited"),
+                       F.col("new.failed").alias("failed"),
+                       # QUIRK: redirects_to not updated for existing pages
+                       # (data.rs:317-322)
+                       F.col("old.redirects_to").alias("redirects_to"),
+                       F.col("new.internal_links").alias("internal_links"),
+                       F.col("new.buttons").alias("buttons")))
+        ins = page_new.join(pages.select("page_id"), "page_id", "left_anti")
+        upd_err = (old.join(err_new.select("page_id").alias("e"), "page_id")
+                   .select("page_id", "old.url",
+                           F.lit(now).alias("last_visited"),
+                           (F.col("old.failed") + 1).alias("failed"),
+                           "old.redirects_to", "old.internal_links",
+                           "old.buttons"))
+        ins_err = (err_new.join(pages.select("page_id"), "page_id", "left_anti")
+                   .select("page_id", "url", F.lit(now).alias("last_visited"),
+                           F.lit(1).alias("failed"),
+                           F.lit(None).cast("string").alias("redirects_to"),
+                           F.array().cast("array<string>").alias("internal_links"),
+                           F.array().cast(
+                               "array<struct<ord:int,source:string,hash:string,"
+                               "file_ext:string,target:string,"
+                               "last_visited:timestamp,alt:string,title:string>>"
+                           ).alias("buttons")))
+        touched = page_new.select("page_id").unionByName(
+            err_new.select("page_id"))
+        pages2 = (pages.join(touched, "page_id", "left_anti")
+                  .unionByName(upd).unionByName(ins)
+                  .unionByName(upd_err).unionByName(ins_err)
+                  .localCheckpoint(eager=True))
+
+        # ---- E4: link derivation (data.rs:354-416) --------------------------
+        src_host = url_host(F.col("res_url"))
+        followable = fetched.where(
+            ~hosts_list_contains_col(src_host, cfg.no_follow_hosts))
+        pid_host = F.split(F.col("page_id"), "/", 2).getItem(0)
+        pid_path = F.when(F.col("page_id").contains("/"),
+                          F.split(F.col("page_id"), "/", 2).getItem(1)) \
+                    .otherwise(F.lit(""))
+        w_int = (F.when(pid_host == "capstasher.neocities.org", F.lit(1.0))
+                 .when((pid_host == "hellnet.work") & (pid_path == "8831/"),
+                       F.lit(1.0))  # unreachable reference arm, kept verbatim
+                 .otherwise(F.lit(0.02)))
+        internal_links = followable.select(
+            "page_id", "crawl_pos", F.lit(0).alias("link_class"),
+            F.posexplode("internal_links").alias("link_ord", "target"),
+            w_int.alias("weight"))
+        button_links = followable.select(
+            "page_id", "crawl_pos", F.lit(1).alias("link_class"),
+            F.explode("buttons").alias("b")
+        ).where(F.col("b.target").isNotNull()).select(
+            "page_id", "crawl_pos", "link_class",
+            F.col("b.ord").cast("int").alias("link_ord"),
+            F.col("b.target").alias("target"), F.lit(1.0).alias("weight"))
+        redirect_links = followable.where(
+            F.col("redirects_to").isNotNull()
+            & (F.col("redirects_to").startswith("http://")
+               | F.col("redirects_to").startswith("https://"))
+        ).select("page_id", "crawl_pos", F.lit(2).alias("link_class"),
+                 F.lit(0).alias("link_ord"),
+                 F.col("redirects_to").alias("target"),
+                 F.lit(0.1).alias("weight"))
+        links = (internal_links.unionByName(button_links)
+                 .unionByName(redirect_links)
+                 .withColumn("target_pid", page_id_udf(F.col("target")))
+                 .localCheckpoint(eager=True))
+
+        # ---- node-id assignment: deterministic insertion order --------------
+        seen_count = seen.count()
+        bloom = build_bloom(seen, F.col("page_id"),
+                            expected=max(seen_count, 16), fpp=cfg.bloom_fpp)
+        targets = links.select(F.col("target_pid").alias("page_id"),
+                               "crawl_pos", "link_class", "link_ord")
+        new_pids = anti_join_new(targets, "page_id", seen, "page_id", bloom)
+        w_first = W.partitionBy("page_id").orderBy(
+            "crawl_pos", "link_class", "link_ord")
+        w_assign = W.orderBy("crawl_pos", "link_class", "link_ord")
+        max_id_row = seen.agg(F.max("node_id")).first()[0]
+        max_id = max_id_row if max_id_row is not None else -1
+        seen_new = (
+            new_pids.withColumn("rn", F.row_number().over(w_first))
+            .where(F.col("rn") == 1)
+            .withColumn("node_id", F.lit(max_id) + F.row_number().over(w_assign))
+            .select("page_id", "node_id", F.lit(r).alias("first_seen_round"))
+            .localCheckpoint(eager=True)
+        )
+        seen_all = seen.unionByName(seen_new).localCheckpoint(eager=True)
+
+        # ---- edges: replace-on-recrawl (canonical rebuild semantics) --------
+        id_map = seen_all.select(F.col("page_id").alias("_pid"),
+                                 F.col("node_id").alias("_nid"))
+        links_ids = (
+            links.join(id_map.withColumnRenamed("_pid", "page_id")
+                       .withColumnRenamed("_nid", "src"), "page_id")
+            .join(id_map.withColumnRenamed("_pid", "target_pid")
+                  .withColumnRenamed("_nid", "dst"), "target_pid")
+        )
+        fetched_src_ids = fetched.join(id_map.withColumnRenamed("_pid", "page_id"),
+                                       "page_id").select(
+            F.col("_nid").alias("src"))
+        edges2 = (edges.join(fetched_src_ids, "src", "left_anti")
+                  .unionByName(links_ids.select("src", "dst", "weight")))
+
+        # ---- discovered upsert (end-of-round pages view) ---------------------
+        eor = pages2.select("page_id")
+        disc_cand = (links_ids
+                     .join(eor.withColumnRenamed("page_id", "target_pid"),
+                           "target_pid", "left_anti"))
+        w_last = W.partitionBy("dst").orderBy(
+            F.desc("crawl_pos"), F.desc("link_class"), F.desc("link_ord"))
+        disc_new = (disc_cand.withColumn("rn", F.row_number().over(w_last))
+                    .where(F.col("rn") == 1)
+                    .select(F.col("dst").alias("node_id"),
+                            F.col("target").alias("url")))
+        discovered2 = (discovered.join(disc_new.select("node_id"),
+                                       "node_id", "left_anti")
+                       .unionByName(disc_new))
+
+        # ---- trace (golden-trace shape, FIXTURES.md §5) ----------------------
+        admitted_tr = selected.select(
+            F.lit(r).alias("round"), F.col("crawl_pos").alias("seq"),
+            "page_id", "host", F.lit("admitted").alias("action"))
+        fetched_tr = fetched.select(
+            F.lit(r).alias("round"),
+            (F.col("crawl_pos") + n_selected).alias("seq"),
+            "page_id", "host", F.lit("fetched").alias("action"))
+        failed_tr = errors.select(
+            F.lit(r).alias("round"),
+            (F.col("crawl_pos") + n_selected).alias("seq"),
+            "page_id", "host", F.lit("failed").alias("action"))
+        trace_new = admitted_tr.unionByName(fetched_tr).unionByName(failed_tr)
+
+        fetched_n = fetched.count()
+        failed_n = errors.count()
+
+        staged = {
+            "pages": pages2,
+            "discovered": discovered2,
+            "edges": edges2,
+            "scores": scores,
+            "queue": queue_after,
+            "button_cache": cache2,
+            "_seen_all": seen_all,
+        }
+        appended = {"seen": seen_new, "trace": trace_new}
+        return staged, appended, (fetched_n, failed_n)
+
+    # ------------------------------------------------------------------
+    def run(self, rounds: int) -> list[dict]:
+        return [self.run_round() for _ in range(rounds)]
+
+    # -- parity exports -------------------------------------------------
+    def seen_set(self) -> dict[str, int]:
+        return {row["page_id"]: row["node_id"]
+                for row in self.table("seen").collect()}
+
+    def trace_events(self) -> list[tuple]:
+        rows = self.table("trace").orderBy("round", "seq").collect()
+        return [(x["round"], x["seq"], x["page_id"], x["host"], x["action"])
+                for x in rows]
+
+    def page_spans(self) -> dict[str, list[tuple]]:
+        """Output span sequences per page — the per-row invariant."""
+        out = {}
+        for row in self.table("pages").collect():
+            spans = []
+            for i, b in enumerate(row["buttons"] or []):
+                spans.append(("button", b["target"], b["hash"], i))
+            off = len(spans)
+            for j, l in enumerate(row["internal_links"] or []):
+                spans.append(("anchor", l, None, off + j))
+            if row["redirects_to"] is not None:
+                spans.append(("redirect", row["redirects_to"], None, len(spans)))
+            out[row["page_id"]] = spans
+        return out

@@ -1,0 +1,129 @@
+"""Snapshot table store: the engine's transactional state layer.
+
+Plays the role Iceberg plays in production (and the role
+write-`.bak`-then-rename plays in the reference, data.rs:93-102 /
+processed.rs:225-230): every crawl round commits *all* changed tables in one
+atomic step, and a killed job resumes from the last committed checkpoint
+(P5, data.rs:104-114).
+
+Two table modes:
+
+- **cow** (copy-on-write): each commit writes a full new version directory —
+  the stand-in for Iceberg ``overwritePartitions``.
+- **append**: each commit writes only a delta directory; a read unions all
+  committed deltas — the stand-in for Iceberg ``append`` (used for the
+  monotone tables: seen set, trace, metrics — at 10^10 scale rewriting the
+  seen set per round would dominate the job).
+
+Layout::
+
+    <root>/tables/<table>/v{N:06d}/   parquet data (full version or delta)
+    <root>/checkpoints/r{R:06d}.json  committed table→version map of round R
+    <root>/CHECKPOINT                 atomic pointer (tmp+rename) to latest
+
+A round writes new version directories (crash-safe: nothing references them
+until commit), then renames the checkpoint json over ``CHECKPOINT``. A
+killed half-committed round re-runs idempotently — the deterministic round
+recomputes the identical result from the previous checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "tables"), exist_ok=True)
+        os.makedirs(os.path.join(root, "checkpoints"), exist_ok=True)
+        self._cow: dict[str, int] = {}
+        self._append: dict[str, list[int]] = {}
+        self.round = 0
+        self._load_checkpoint()
+
+    # -- checkpoint handling ----------------------------------------------
+    def _ptr_path(self) -> str:
+        return os.path.join(self.root, "CHECKPOINT")
+
+    def _load_checkpoint(self) -> None:
+        try:
+            with open(self._ptr_path()) as f:
+                ck = json.load(f)
+            self._cow = dict(ck["cow"])
+            self._append = {k: list(v) for k, v in ck["append"].items()}
+            self.round = int(ck["round"])
+        except FileNotFoundError:
+            self._cow, self._append, self.round = {}, {}, 0
+
+    def commit(self, round_no: int, overwrite: dict[str, DataFrame],
+               append: dict[str, DataFrame] | None = None) -> None:
+        """Write staged tables as new version dirs, then atomically flip the
+        checkpoint pointer. One call per crawl round (P3)."""
+        new_cow = dict(self._cow)
+        new_append = {k: list(v) for k, v in self._append.items()}
+        for name, df in overwrite.items():
+            prev = max([new_cow.get(name, 0)]
+                       + new_append.get(name, [0]))
+            v = prev + 1
+            df.write.mode("overwrite").parquet(self._table_path(name, v))
+            new_cow[name] = v
+        for name, df in (append or {}).items():
+            prev = max(new_append.get(name, [0]) + [new_cow.get(name, 0)])
+            v = prev + 1
+            df.write.mode("overwrite").parquet(self._table_path(name, v))
+            new_append.setdefault(name, []).append(v)
+        ck = {"round": round_no, "cow": new_cow, "append": new_append}
+        ck_path = os.path.join(self.root, "checkpoints", f"r{round_no:06d}.json")
+        with open(ck_path, "w") as f:
+            json.dump(ck, f)
+        tmp = self._ptr_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ck, f)
+        os.replace(tmp, self._ptr_path())  # the atomic commit point
+        self._gc_old_versions(self._cow, new_cow)
+        self._cow, self._append = new_cow, new_append
+        self.round = round_no
+
+    def _gc_old_versions(self, old_cow: dict[str, int],
+                         new_cow: dict[str, int], keep: int = 2) -> None:
+        for name, cur in new_cow.items():
+            tdir = os.path.join(self.root, "tables", name)
+            if not os.path.isdir(tdir):
+                continue
+            protected = set(self._append.get(name, []))
+            for entry in os.listdir(tdir):
+                if not entry.startswith("v"):
+                    continue
+                try:
+                    v = int(entry[1:])
+                except ValueError:
+                    continue
+                if v <= cur - keep and v not in protected:
+                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+
+    # -- reads --------------------------------------------------------------
+    def _table_path(self, name: str, version: int) -> str:
+        return os.path.join(self.root, "tables", name, f"v{version:06d}")
+
+    def exists(self, name: str) -> bool:
+        return name in self._cow or name in self._append
+
+    def read(self, name: str, schema: str | None = None) -> DataFrame:
+        """Committed view of a table; empty DF (with ``schema``) when the
+        table has never been committed."""
+        paths = []
+        if name in self._cow:
+            paths.append(self._table_path(name, self._cow[name]))
+        for v in self._append.get(name, []):
+            paths.append(self._table_path(name, v))
+        if paths:
+            return self.spark.read.parquet(*paths)
+        if schema is None:
+            raise KeyError(f"table {name} not committed and no schema given")
+        return self.spark.createDataFrame([], schema)
