@@ -1,38 +1,101 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the engine's frontier-refresh pipeline shape
+(PageRank join-agg → threshold filter → pinned-tiebreak top-k) over the
+sf0.001 tables.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (crawl operators re-expressed over the driver tables) plus the
+training-data pipeline operators (dedup / similarity / text analysis /
+multimodal). Column names and float rounding are pinned identically on both
+sides so the driver's order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from x227f_spark.operators import dedup, multimodal, relational, similarity, textstats  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: rank the order-graph with the engine's PageRank
+    operator, then run the T2 threshold-top-k admission over it."""
+    sf_dir = "/root/testdata/sf0.001"
+    scores = relational.g2_pagerank(spark, sf_dir)
+    return (scores.where(F.col("score") >= 0.151)
+            .orderBy(F.desc("score"), F.asc("node_id"))
+            .limit(10_000))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl operators (SURVEY.md §2) over driver tables
+        "f1_host_suffix_filter": relational.f1_host_suffix_filter,
+        "f12_recrawl_due": relational.f12_recrawl_due,
+        "g1_dictionary": relational.g1_dictionary,
+        "g2_pagerank": relational.g2_pagerank,
+        "g4_group_collect": relational.g4_group_collect,
+        "g5_inverted_index": relational.g5_inverted_index,
+        "g6_stats": relational.g6_stats,
+        "j2_admission_antijoin": relational.j2_admission_antijoin,
+        "j4_redirect_chain": relational.j4_redirect_chain,
+        "o1_union_distinct": relational.o1_union_distinct,
+        "t2_threshold_topk": relational.t2_threshold_topk,
+        "t3_per_host_budget": relational.t3_per_host_budget,
+        "u6_source_filename": relational.u6_source_filename,
+        "u7_host_shorten": relational.u7_host_shorten,
+        "u8_content_hash": relational.u8_content_hash,
+        # training-data pipeline operators
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "ann_cosine_topk": similarity.cosine_topk,
+        "ann_ivf_assign": similarity.ivf_assign,
+        "text_token_count": textstats.token_count,
+        "text_quality": textstats.text_quality,
+        "text_lang_id": textstats.lang_id,
+        "text_fingerprint": textstats.fingerprint,
+        "mm_decode_features": multimodal.decode_features,
+        "mm_frame_sample": multimodal.frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "f1_host_suffix_filter": relational.F1_SQL,
+        "f12_recrawl_due": relational.F12_SQL,
+        "g1_dictionary": relational.G1_SQL,
+        "g2_pagerank": relational.g2_pagerank_sql(),
+        "g4_group_collect": relational.G4_SQL,
+        "g5_inverted_index": relational.G5_SQL,
+        "g6_stats": relational.G6_SQL,
+        "j2_admission_antijoin": relational.J2_SQL,
+        "j4_redirect_chain": relational.J4_SQL,
+        "o1_union_distinct": relational.O1_SQL,
+        "t2_threshold_topk": relational.T2_SQL,
+        "t3_per_host_budget": relational.T3_SQL,
+        "u6_source_filename": relational.U6_SQL,
+        "u7_host_shorten": relational.U7_SQL,
+        "u8_content_hash": relational.U8_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
+        "dedup_minhash_lsh": dedup.dedup_minhash_sql(),
+        "dedup_simhash": dedup.dedup_simhash_sql(),
+        "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
+        "ann_ivf_assign": similarity.IVF_ASSIGN_SQL,
+        "text_token_count": textstats.TOKEN_COUNT_SQL,
+        "text_quality": textstats.TEXT_QUALITY_SQL,
+        "text_lang_id": textstats.lang_id_sql(),
+        "text_fingerprint": textstats.FINGERPRINT_SQL,
+        "mm_decode_features": multimodal.DECODE_FEATURES_SQL,
+        "mm_frame_sample": multimodal.FRAME_SAMPLE_SQL,
+    }

@@ -1,0 +1,155 @@
+"""Benchmark harness.
+
+Runs the headline operator suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus a crawl-engine
+throughput run on the synthetic corpus, and prints ONE JSON line::
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: ``crawl`` (urls fetched+deduped/sec and round stats) and
+``cpus``. The N-vs-4N scaling protocol (BASELINE.md) is driven by
+``tools/bench_scaling.py``, which runs this file at two parallelism levels
+and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "g2_pagerank",
+    "t2_threshold_topk",
+    "t3_per_host_budget",
+    "j2_admission_antijoin",
+    "j4_redirect_chain",
+    "g4_group_collect",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_ivf_assign",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "mm_decode_features",
+]
+
+# crawl bench knobs (deterministic corpus; cached across runs)
+CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "400"))
+CRAWL_PAGES_PER_HOST = int(os.environ.get("BENCH_CRAWL_PPH", "8"))
+CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "4"))
+CRAWL_FETCH_CAP = int(os.environ.get("BENCH_CRAWL_CAP", "3000"))
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    return times
+
+
+def _bench_corpus_dir() -> str:
+    from x227f_spark.sources.corpus import generate, write_parquet
+
+    key = f"h{CRAWL_HOSTS}_p{CRAWL_PAGES_PER_HOST}_f100_b612"
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "_data", f"bench_corpus_{key}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        corpus = generate(n_hosts=CRAWL_HOSTS,
+                          pages_per_host=CRAWL_PAGES_PER_HOST,
+                          n_buttons=200, edge_cases=False,
+                          seed_button_fanout=min(CRAWL_HOSTS, 100),
+                          buttons_per_page=(6, 12), filler_text_spans=6)
+        write_parquet(corpus, out)
+        with open(os.path.join(out, "_SEED"), "w") as f:
+            f.write(corpus.seed_url)
+        with open(marker, "w") as f:
+            f.write("ok")
+    with open(os.path.join(out, "_SEED")) as f:
+        seed_url = f.read().strip()
+    return out, seed_url
+
+
+def bench_crawl(spark) -> dict:
+    import shutil
+    import tempfile
+
+    from x227f_spark.constants import EngineConfig
+    from x227f_spark.plans.rounds import CrawlEngine
+
+    corpus_dir, seed_url = _bench_corpus_dir()
+    state_dir = tempfile.mkdtemp(
+        prefix="bench_state_",
+        dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), "_data"))
+    cfg = EngineConfig(starting_point=seed_url, fetch_cap=CRAWL_FETCH_CAP)
+    eng = CrawlEngine(spark, corpus_dir, state_dir, config=cfg)
+    t0 = time.monotonic()
+    fetched = admitted = 0
+    per_round = []
+    for _ in range(CRAWL_ROUNDS):
+        r0 = time.monotonic()
+        m = eng.run_round()
+        per_round.append(round(time.monotonic() - r0, 2))
+        fetched += m["fetched"] + m["failed"]
+        admitted += m["admitted"]
+        print(f"  crawl round {m['round']}: admitted={m['admitted']} "
+              f"fetched={m['fetched']} ({per_round[-1]}s)", file=sys.stderr)
+    wall = time.monotonic() - t0
+    seen = len(eng.seen_set())
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return {
+        "urls_per_sec": round(fetched / wall, 2),
+        "urls_fetched": fetched,
+        "urls_deduped": seen,
+        "rounds": CRAWL_ROUNDS,
+        "wall_sec": round(wall, 2),
+        "round_sec": per_round,
+    }
+
+
+def main():
+    from x227f_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else 0.1
+
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "_data"), exist_ok=True)
+    spark = get_spark(cores=cpus, app_name="x227f_bench")
+
+    t0 = time.monotonic()
+    queries = bench_queries(spark, sf_dir)
+    crawl = bench_crawl(spark) if os.environ.get("BENCH_SKIP_CRAWL") != "1" \
+        else {}
+    total = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "headline suite wall time (operator queries + crawl rounds)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "crawl": crawl,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""Deduplication operators for the training-data pipeline over
+``documents`` — the four standard families:
+
+- exact:          hash-groupBy (content sha256)
+- n-gram Jaccard: shingle → candidate pairs via shared shingle → verify
+- MinHash + LSH:  shingle → k minhashes → banded buckets → bucket join
+- SimHash:        token hashes → per-bit majority vote → 64-bit signature
+
+Everything is pure DataFrame algebra (explode / groupBy / window /
+self-join) — the shapes that scale: candidate generation never goes O(n²);
+pairs only materialize for docs sharing a shingle/band bucket. Portable
+hashing (sha256 hex, JVM-side) keeps the DuckDB oracles value-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+MINHASH_K = 8          # hash functions
+MINHASH_BANDS = 4      # bands of 2 rows → candidates at jaccard ≳ 0.5
+SHINGLE = 3            # words per shingle
+JACCARD_THRESHOLD = 0.5
+
+_HEX = "0123456789abcdef"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def shingles_col(text):
+    """Distinct 3-word shingles, JVM-side (transform over sequence)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+        F.element_at(toks, i + 3)))
+    return F.when(n >= SHINGLE, F.array_distinct(sh)) \
+            .otherwise(F.array_distinct(F.array(F.array_join(toks, " "))))
+
+
+_SHINGLES_SQL = """
+  CASE WHEN len(toks) >= 3 THEN
+    list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+  ELSE list_distinct([array_to_string(toks, ' ')]) END
+"""
+
+
+def _doc_shingles(spark, sf_dir) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (docs.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_dups")))
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _doc_shingles(spark, sf_dir)
+    exploded = ds.select("doc_id", F.explode("shingles").alias("s"))
+    pairs = (exploded.alias("a").join(
+        exploded.alias("b"),
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct())
+    sa = ds.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sh_a"))
+    sb = ds.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter / union, 4)
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), ds AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM ds
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(len(list_intersect(sa.shingles, sb.shingles))
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE,
+             4) AS jaccard
+FROM pairs p
+JOIN ds sa ON sa.doc_id = p.doc_a
+JOIN ds sb ON sb.doc_id = p.doc_b
+WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE,
+            4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signature_i(doc) = min over shingles of sha256(i ':' shingle)[:16] —
+    min over a portable total order (hex strings), k aggs in one groupBy."""
+    ds = _doc_shingles(spark, sf_dir)
+    ex = ds.select("doc_id", F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(F.substring(F.sha2(F.concat(F.lit(f"{i}:"), F.col("s")), 256),
+                          1, 16)).alias(f"mh{i}")
+        for i in range(MINHASH_K)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.sha2(F.concat_ws("|", *[
+                     F.col(f"mh{b * rows_per_band + j}")
+                     for j in range(rows_per_band)]), 256).alias("bucket"))
+        for b in range(MINHASH_BANDS)
+    ])
+    bucketed = sig.select("doc_id", F.explode(bands).alias("bb")) \
+                  .select("doc_id", F.col("bb.band").alias("band"),
+                          F.col("bb.bucket").alias("bucket"))
+    return (bucketed.alias("a").join(
+        bucketed.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct())
+
+
+def dedup_minhash_sql() -> str:
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    mh_cols = ", ".join(
+        f"min(substr(sha256('{i}:' || s), 1, 16)) AS mh{i}"
+        for i in range(MINHASH_K))
+    band_structs = ", ".join(
+        "({b}, sha256({cat}))".format(
+            b=b, cat=" || '|' || ".join(
+                f"mh{b * rows_per_band + j}" for j in range(rows_per_band)))
+        for b in range(MINHASH_BANDS))
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), ds AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM ds
+), sig AS (
+  SELECT doc_id, {mh_cols} FROM ex GROUP BY doc_id
+), bucketed AS (
+  SELECT doc_id, b.* FROM sig,
+  LATERAL (VALUES {band_structs}) AS b(band, bucket)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bucketed a JOIN bucketed b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over token occurrences; portable bit extraction from
+    sha256 hex nibbles (same arithmetic in the oracle)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("t"))
+    h16 = F.substring(F.sha2(F.col("t"), 256), 1, 16)
+    tok = tok.select("doc_id", h16.alias("h"))
+    sums = []
+    for j in range(16):
+        nib = F.instr(F.lit(_HEX), F.substring(F.col("h"), j + 1, 1)) - 1
+        for b in range(4):
+            bit = F.shiftright(nib, b).bitwiseAND(F.lit(1))
+            sums.append(F.sum(bit * 2 - 1).alias(f"s_{j}_{b}"))
+    agg = tok.groupBy("doc_id").agg(*sums)
+    out_nibbles = []
+    for j in range(16):
+        val = sum(
+            (F.when(F.col(f"s_{j}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+             for b in range(4)), F.lit(0))
+        out_nibbles.append(F.substring(F.lit(_HEX), val + 1, 1))
+    return agg.select("doc_id", F.concat(*out_nibbles).alias("simhash"))
+
+
+def dedup_simhash_sql() -> str:
+    sums = []
+    for j in range(16):
+        nib = f"(strpos('{_HEX}', substr(h, {j + 1}, 1)) - 1)"
+        for b in range(4):
+            bit = f"(({nib} // {1 << b}) % 2)"
+            sums.append(f"sum({bit} * 2 - 1) AS s_{j}_{b}")
+    nibbles = []
+    for j in range(16):
+        val = " + ".join(
+            f"(CASE WHEN s_{j}_{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(4))
+        nibbles.append(f"substr('{_HEX}', ({val}) + 1, 1)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         substr(sha256(unnest(regexp_split_to_array(trim(text), '\\s+'))),
+                1, 16) AS h
+  FROM documents
+), agg AS (
+  SELECT doc_id, {', '.join(sums)} FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {' || '.join(nibbles)} AS simhash FROM agg
+"""

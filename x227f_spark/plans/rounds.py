@@ -79,11 +79,15 @@ class CrawlEngine:
 
         http = spark.read.parquet(f"{corpus_dir}/http.parquet")
         docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        # static for the life of the engine and probed twice per round (S5 +
+        # P6 retry) — persist once; on a real deployment this is one table
         self.corpus = (
             http.join(docs, http["url"] == docs["doc_id"], "left")
             .select("url", "status", "content_type", "redirect_to",
                     "body_len", "spans")
+            .persist()
         )
+        self.corpus.count()
         images = spark.read.parquet(f"{corpus_dir}/images.parquet")
         self.resolved_images = (
             fetch_ops.resolve_image_redirects(images).localCheckpoint(eager=True)
@@ -96,6 +100,29 @@ class CrawlEngine:
             return hosts.map(lambda h: cfg.host_budget(h or ""))
 
         self._host_budget_udf = host_budget_udf
+        self._round_persists = []
+        # driver-side scalars maintained across rounds (persisted in the
+        # checkpoint's stats; recomputed once on resume of a pre-stats store).
+        # node ids are dense 0..N-1 by construction, so max_id = count-1.
+        st = self.store.stats
+        if "seen_count" in st:
+            self._seen_count = int(st["seen_count"])
+            self._edges_maybe_nonempty = bool(st.get("edges_nonempty", True))
+        elif self.store.exists("seen"):
+            self._seen_count = self.table("seen").count()
+            self._edges_maybe_nonempty = True
+        else:
+            self._seen_count = 0
+            self._edges_maybe_nonempty = False
+
+
+    def _persist(self, df: DataFrame) -> DataFrame:
+        """Round-scoped cache: reused intermediates are persisted lazily
+        (no extra materialization job, unlike an eager localCheckpoint) and
+        dropped when the round commits."""
+        df = df.persist()
+        self._round_persists.append(df)
+        return df
 
     # -- state access -------------------------------------------------------
     def table(self, name: str) -> DataFrame:
@@ -119,10 +146,14 @@ class CrawlEngine:
                 [(0, sp, pid, host)], SCHEMAS["queue"])
             seen_new = self.spark.createDataFrame(
                 [(pid, 0, 0)], SCHEMAS["seen"])
+            self._seen_count = 1
         else:
             staged["queue"] = self.spark.createDataFrame([], SCHEMAS["queue"])
             seen_new = self.spark.createDataFrame([], SCHEMAS["seen"])
-        self.store.commit(0, staged, {"seen": seen_new})
+            self._seen_count = 0
+        self.store.commit(0, staged, {"seen": seen_new},
+                          stats={"seen_count": self._seen_count,
+                                 "edges_nonempty": False})
 
     # -- one round ------------------------------------------------------------
     def run_round(self) -> dict:
@@ -144,10 +175,18 @@ class CrawlEngine:
         # ---- rank: G2 (data.rs:166-169, 216-218) -------------------------
         iters = cfg.bootstrap_pr_iters if r == 1 else cfg.round_pr_iters
         nodes = seen.select("node_id")
-        scores = pagerank_iterations(nodes, edges, scores, iters)
+        if not self._edges_maybe_nonempty:
+            # closed form: no inbound anywhere → every node is exactly 0.15
+            # after >=1 iteration; skips 50 join-agg sweeps at bootstrap
+            scores = nodes.select("node_id", F.lit(0.15).alias("score"))
+        else:
+            scores = pagerank_iterations(nodes, edges, scores, iters)
 
         # ---- refresh_queue: T1/T2/F11/F12 (data.rs:210-292) ---------------
-        queue_len = queue.count()
+        qrow = queue.agg(F.count("*").alias("n"),
+                         F.max("queue_pos").alias("mx")).first()
+        queue_len = qrow["n"]
+        max_pos = qrow["mx"] if qrow["mx"] is not None else -1
         pg = pages.select(
             "page_id", F.col("url").alias("pg_url"),
             F.col("last_visited").alias("pg_lv"), F.col("failed").alias("pg_failed"))
@@ -173,19 +212,14 @@ class CrawlEngine:
                .otherwise(F.col("disc_url").isNotNull())
         cand = cand.where(due).withColumn(
             "cand_url", F.coalesce("pg_url", "disc_url"))
-        n_cand = cand.count()
         # collection-loop cap semantics (data.rs:271-274): break *after* the
-        # push that crosses the cap
-        if n_cand + queue_len > cfg.queue_cap:
-            limit_n = max(cfg.queue_cap - queue_len, 0) + 1
-        else:
-            limit_n = n_cand
+        # push that crosses the cap — a plain limit expresses it: when fewer
+        # candidates exist the limit is a no-op
+        limit_n = max(cfg.queue_cap - queue_len, 0) + 1
         w_rank = W.orderBy(F.desc("score"), F.asc("node_id"))
         adding = (cand.withColumn("add_pos", F.row_number().over(w_rank))
-                  .where(F.col("add_pos") <= limit_n)
-                  .localCheckpoint(eager=True))
-        max_pos_row = queue.agg(F.max("queue_pos")).first()[0]
-        max_pos = max_pos_row if max_pos_row is not None else -1
+                  .where(F.col("add_pos") <= limit_n))
+        adding = self._persist(adding)
         add_host = url_host(F.col("cand_url"))
         new_entries = (
             adding.where(~hosts_list_contains_col(add_host, cfg.banned_hosts))
@@ -210,10 +244,10 @@ class CrawlEngine:
             .withColumn("gr", F.row_number().over(w_global))
             .where(F.col("gr") <= cfg.fetch_cap)
         )
-        selected = sel.select(
+        selected = self._persist(sel.select(
             "queue_pos", "url", "page_id", "host",
             (F.col("gr") - 1).cast("long").alias("crawl_pos"),
-        ).localCheckpoint(eager=True)
+        ))
         n_selected = selected.count()
         queue_after = queue2.join(selected.select("queue_pos"),
                                   "queue_pos", "left_anti")
@@ -222,8 +256,12 @@ class CrawlEngine:
             staged = {"discovered": discovered, "scores": scores,
                       "queue": queue_after}
             dur = int((time.monotonic() - t0) * 1000)
-            m = self._metrics_row(r, 0, 0, 0, queue_after, seen, dur)
-            self.store.commit(r, staged, {"metrics": m})
+            q_n = queue_after.count()
+            m = self.spark.createDataFrame(
+                [(r, 0, 0, 0, q_n, self._seen_count, dur)], SCHEMAS["metrics"])
+            self.store.commit(r, staged, {"metrics": m},
+                              stats=self._stats())
+            self._drop_round_persists()
             return {"round": r, "admitted": 0, "fetched": 0, "failed": 0}
 
         # ---- fetch + extract (operators/fetch.py) --------------------------
@@ -234,21 +272,25 @@ class CrawlEngine:
             r, now, selected, n_selected, fetched, errors, btns,
             pages, seen, discovered, edges, scores, queue_after, cache)
         dur = int((time.monotonic() - t0) * 1000)
-        m = self._metrics_row(r, n_selected, counts[0], counts[1],
-                              queue_after, staged.pop("_seen_all"), dur)
+        q_n = queue_after.count()
+        m = self.spark.createDataFrame(
+            [(r, n_selected, counts[0], counts[1], q_n, self._seen_count, dur)],
+            SCHEMAS["metrics"])
         appended["metrics"] = m
-        self.store.commit(r, staged, appended)
+        self.store.commit(r, staged, appended, stats=self._stats())
+        self._drop_round_persists()
         return {"round": r, "admitted": n_selected, "fetched": counts[0],
                 "failed": counts[1]}
 
     # ------------------------------------------------------------------
-    def _metrics_row(self, r, admitted, fetched_n, failed_n, queue_df, seen_df,
-                     dur_ms) -> DataFrame:
-        q = queue_df.count()
-        s = seen_df.count()
-        return self.spark.createDataFrame(
-            [(r, admitted, fetched_n, failed_n, q, s, dur_ms)],
-            SCHEMAS["metrics"])
+    def _drop_round_persists(self) -> None:
+        for df in self._round_persists:
+            df.unpersist(blocking=False)
+        self._round_persists = []
+
+    def _stats(self) -> dict:
+        return {"seen_count": self._seen_count,
+                "edges_nonempty": self._edges_maybe_nonempty}
 
     # ------------------------------------------------------------------
     def _fetch(self, selected: DataFrame, cache: DataFrame, now):
@@ -301,7 +343,7 @@ class CrawlEngine:
             .when(F.col("bl") > 10 * 1024 * 1024, F.lit("empty"))
             .otherwise(F.lit("html"))
         )
-        f2 = f2.withColumn("subkind", subkind).localCheckpoint(eager=True)
+        f2 = self._persist(f2.withColumn("subkind", subkind))
 
         errors = f2.where(F.col("subkind") == "error")
         page_rows = f2.where(F.col("subkind") != "error")
@@ -316,7 +358,7 @@ class CrawlEngine:
         ).select("crawl_pos",
                  F.col("ext.candidates").alias("candidates"),
                  F.col("ext.internal_links").alias("internal_links"))
-        ext = ext.localCheckpoint(eager=True)
+        ext = self._persist(ext)
 
         # ---- image pipeline ------------------------------------------------
         cand = ext.select(
@@ -360,7 +402,7 @@ class CrawlEngine:
             F.col("v.file_ext").alias("file_ext"),
             F.col("v.source").alias("source"),
             F.lit(now).alias("now"))
-        btns = fetch_ops.budget_pass(cand).localCheckpoint(eager=True)
+        btns = self._persist(fetch_ops.budget_pass(cand))
 
         buttons_by_page = btns.groupBy("crawl_pos").agg(
             F.sort_array(F.collect_list(F.struct(
@@ -384,7 +426,8 @@ class CrawlEngine:
             )
             .localCheckpoint(eager=True)
         )
-        return fetched, errors.localCheckpoint(eager=True), btns
+        # errors is a cheap filter over the checkpointed f2 — no extra ckpt
+        return fetched, errors, btns
 
     # ------------------------------------------------------------------
     def _commit_plan(self, r, now, selected, n_selected, fetched, errors,
@@ -442,8 +485,7 @@ class CrawlEngine:
             err_new.select("page_id"))
         pages2 = (pages.join(touched, "page_id", "left_anti")
                   .unionByName(upd).unionByName(ins)
-                  .unionByName(upd_err).unionByName(ins_err)
-                  .localCheckpoint(eager=True))
+                  .unionByName(upd_err).unionByName(ins_err))
 
         # ---- E4: link derivation (data.rs:354-416) --------------------------
         src_host = url_host(F.col("res_url"))
@@ -476,31 +518,36 @@ class CrawlEngine:
                  F.lit(0).alias("link_ord"),
                  F.col("redirects_to").alias("target"),
                  F.lit(0.1).alias("weight"))
-        links = (internal_links.unionByName(button_links)
-                 .unionByName(redirect_links)
-                 .withColumn("target_pid", page_id_udf(F.col("target")))
-                 .localCheckpoint(eager=True))
+        links = self._persist(
+            internal_links.unionByName(button_links)
+            .unionByName(redirect_links)
+            .withColumn("target_pid", page_id_udf(F.col("target"))))
 
         # ---- node-id assignment: deterministic insertion order --------------
-        seen_count = seen.count()
-        bloom = build_bloom(seen, F.col("page_id"),
-                            expected=max(seen_count, 16), fpp=cfg.bloom_fpp)
+        # Bloom pre-prune only pays off once the seen set outgrows a
+        # broadcast; below the threshold the plain anti-join is cheaper.
+        bloom = None
+        if self._seen_count >= 50_000:
+            bloom = build_bloom(seen, F.col("page_id"),
+                                expected=max(self._seen_count, 16),
+                                fpp=cfg.bloom_fpp)
         targets = links.select(F.col("target_pid").alias("page_id"),
                                "crawl_pos", "link_class", "link_ord")
         new_pids = anti_join_new(targets, "page_id", seen, "page_id", bloom)
         w_first = W.partitionBy("page_id").orderBy(
             "crawl_pos", "link_class", "link_ord")
         w_assign = W.orderBy("crawl_pos", "link_class", "link_ord")
-        max_id_row = seen.agg(F.max("node_id")).first()[0]
-        max_id = max_id_row if max_id_row is not None else -1
+        # node ids are dense 0..N-1 (insertion order), so max = count-1
+        max_id = self._seen_count - 1
         seen_new = (
             new_pids.withColumn("rn", F.row_number().over(w_first))
             .where(F.col("rn") == 1)
             .withColumn("node_id", F.lit(max_id) + F.row_number().over(w_assign))
             .select("page_id", "node_id", F.lit(r).alias("first_seen_round"))
-            .localCheckpoint(eager=True)
         )
-        seen_all = seen.unionByName(seen_new).localCheckpoint(eager=True)
+        seen_new = self._persist(seen_new)
+        seen_all = self._persist(seen.unionByName(seen_new))
+        self._seen_count += seen_new.count()
 
         # ---- edges: replace-on-recrawl (canonical rebuild semantics) --------
         id_map = seen_all.select(F.col("page_id").alias("_pid"),
@@ -518,7 +565,10 @@ class CrawlEngine:
                   .unionByName(links_ids.select("src", "dst", "weight")))
 
         # ---- discovered upsert (end-of-round pages view) ---------------------
-        eor = pages2.select("page_id")
+        # end-of-round page ids = previous pages ∪ every touched id (all
+        # touched ids end up in pages: update/insert/stub), cheaper than
+        # re-reading pages2
+        eor = pages.select("page_id").unionByName(touched).distinct()
         disc_cand = (links_ids
                      .join(eor.withColumnRenamed("page_id", "target_pid"),
                            "target_pid", "left_anti"))
@@ -547,7 +597,9 @@ class CrawlEngine:
         trace_new = admitted_tr.unionByName(fetched_tr).unionByName(failed_tr)
 
         fetched_n = fetched.count()
-        failed_n = errors.count()
+        failed_n = n_selected - fetched_n  # every selected row is page|error
+        if fetched_n > 0:
+            self._edges_maybe_nonempty = True
 
         staged = {
             "pages": pages2,
@@ -556,7 +608,6 @@ class CrawlEngine:
             "scores": scores,
             "queue": queue_after,
             "button_cache": cache2,
-            "_seen_all": seen_all,
         }
         appended = {"seen": seen_new, "trace": trace_new}
         return staged, appended, (fetched_n, failed_n)

@@ -45,6 +45,7 @@ class StateStore:
         self._cow: dict[str, int] = {}
         self._append: dict[str, list[int]] = {}
         self.round = 0
+        self.stats: dict = {}
         self._load_checkpoint()
 
     # -- checkpoint handling ----------------------------------------------
@@ -58,11 +59,13 @@ class StateStore:
             self._cow = dict(ck["cow"])
             self._append = {k: list(v) for k, v in ck["append"].items()}
             self.round = int(ck["round"])
+            self.stats = dict(ck.get("stats", {}))
         except FileNotFoundError:
-            self._cow, self._append, self.round = {}, {}, 0
+            self._cow, self._append, self.round, self.stats = {}, {}, 0, {}
 
     def commit(self, round_no: int, overwrite: dict[str, DataFrame],
-               append: dict[str, DataFrame] | None = None) -> None:
+               append: dict[str, DataFrame] | None = None,
+               stats: dict | None = None) -> None:
         """Write staged tables as new version dirs, then atomically flip the
         checkpoint pointer. One call per crawl round (P3)."""
         new_cow = dict(self._cow)
@@ -78,7 +81,8 @@ class StateStore:
             v = prev + 1
             df.write.mode("overwrite").parquet(self._table_path(name, v))
             new_append.setdefault(name, []).append(v)
-        ck = {"round": round_no, "cow": new_cow, "append": new_append}
+        ck = {"round": round_no, "cow": new_cow, "append": new_append,
+              "stats": stats if stats is not None else self.stats}
         ck_path = os.path.join(self.root, "checkpoints", f"r{round_no:06d}.json")
         with open(ck_path, "w") as f:
             json.dump(ck, f)
@@ -89,6 +93,7 @@ class StateStore:
         self._gc_old_versions(self._cow, new_cow)
         self._cow, self._append = new_cow, new_append
         self.round = round_no
+        self.stats = ck["stats"]
 
     def _gc_old_versions(self, old_cow: dict[str, int],
                          new_cow: dict[str, int], keep: int = 2) -> None:

@@ -74,9 +74,15 @@ class _SpanBuilder:
 
 def generate(n_hosts: int = 8, pages_per_host: int = 4, n_buttons: int = 12,
              seed: int = 42, mega_host_pages: int = 0,
-             edge_cases: bool = True) -> Corpus:
+             edge_cases: bool = True, seed_button_fanout: int = 0,
+             buttons_per_page: tuple[int, int] = (2, 4),
+             filler_text_spans: int = 0) -> Corpus:
     """Build the corpus. ``n_hosts * pages_per_host`` regular pages plus a
-    button pool plus (optionally) every reference edge case."""
+    button pool plus (optionally) every reference edge case.
+
+    Bench knobs: ``seed_button_fanout`` adds seed-page buttons to the first
+    K hosts (fast frontier ramp-up); ``buttons_per_page`` scales per-page
+    image-candidate work; ``filler_text_spans`` pads span counts."""
     rng = random.Random(seed)
     corpus = Corpus()
 
@@ -149,8 +155,11 @@ def generate(n_hosts: int = 8, pages_per_host: int = 4, n_buttons: int = 12,
                     else:
                         b.anchor("/" + target.split("/", 3)[3] if target.count("/") >= 3
                                  and target.split("/", 3)[3] else target)
-            # cross-host buttons: 2-4 linked 88x31s
-            nb = rng.randint(2, 4)
+            for _f in range(filler_text_spans):
+                b.text(f"filler {rng.randint(0, 10 ** 9)} lorem ipsum "
+                       f"{rng.random():.6f}")
+            # cross-host buttons: linked 88x31s
+            nb = rng.randint(*buttons_per_page)
             for _ in range(nb):
                 tgt_host = rng.choice(hosts)
                 tgt = rng.choice(pages[tgt_host])
@@ -168,6 +177,16 @@ def generate(n_hosts: int = 8, pages_per_host: int = 4, n_buttons: int = 12,
         _add_edge_case_pages(corpus, hosts, pages, button_urls, data_uri, rng)
 
     corpus.seed_url = pages[hosts[0]][0]
+
+    if seed_button_fanout > 0:
+        seed_doc = corpus.docs[corpus.seed_url]
+        sb = _SpanBuilder()
+        sb.spans = list(seed_doc.spans)
+        for k, h in enumerate(hosts[:seed_button_fanout]):
+            sb.linked_img(pages[h][0], button_urls[k % len(button_urls)],
+                          alt=f"directory {h}", width="88", height="31")
+        sb.spans = [(kk, t, m, i) for i, (kk, t, m, _) in enumerate(sb.spans)]
+        seed_doc.spans = sb.spans
     return corpus
 
 
