@@ -54,10 +54,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u7_host_shorten": relational.u7_host_shorten,
         "u8_content_hash": relational.u8_content_hash,
         # training-data pipeline operators
+        "o2_except_gc": relational.o2_except_gc,
+        "g3_outdegree": relational.g3_outdegree,
+        "j1_cache_lookup": relational.j1_cache_lookup,
+        "p4_backoff_merge": relational.p4_backoff_merge,
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_ivf_assign": similarity.ivf_assign,
         "text_token_count": textstats.token_count,
@@ -86,10 +91,15 @@ def oracle_sql() -> dict[str, str]:
         "u6_source_filename": relational.U6_SQL,
         "u7_host_shorten": relational.U7_SQL,
         "u8_content_hash": relational.U8_SQL,
+        "o2_except_gc": relational.O2_SQL,
+        "g3_outdegree": relational.G3_SQL,
+        "j1_cache_lookup": relational.J1_SQL,
+        "p4_backoff_merge": relational.P4_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "dedup_minhash_lsh": dedup.dedup_minhash_sql(),
         "dedup_simhash": dedup.dedup_simhash_sql(),
+        "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_SQL,
         "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_ivf_assign": similarity.IVF_ASSIGN_SQL,
         "text_token_count": textstats.TOKEN_COUNT_SQL,

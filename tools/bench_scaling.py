@@ -1,0 +1,156 @@
+"""The N-vs-4N scaling protocol (BASELINE.md): run the identical crawl job
+at local[8] and local[32] on the same input, report throughput at both and
+the scaling efficiency, and write BENCH/BASELINE.md.
+
+Each parallelism level runs in its own subprocess (one JVM per parallelism —
+a Spark session's core count is fixed at startup). The corpus is generated
+once and shared; each run starts from a fresh state dir so the work is
+identical. Warm-up rounds (plan compilation + JIT) are excluded from the
+steady-state number, which is reported alongside the full-run number.
+
+Usage: python tools/bench_scaling.py [--hosts 2000 --pph 25 --cap 10000
+                                      --rounds 7 --warmup 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RUNNER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from x227f_spark.session import get_spark
+from x227f_spark.constants import EngineConfig
+from x227f_spark.plans.rounds import CrawlEngine
+
+cores = int(sys.argv[1]); corpus_dir = sys.argv[2]; seed = sys.argv[3]
+rounds = int(sys.argv[4]); cap = int(sys.argv[5])
+spark = get_spark(cores=cores, app_name=f"scaling_{{cores}}", driver_memory="48g")
+state = tempfile.mkdtemp(prefix=f"scale{{cores}}_", dir=os.path.join({repo!r}, "_data"))
+eng = CrawlEngine(spark, corpus_dir, state,
+                  config=EngineConfig(starting_point=seed, fetch_cap=cap))
+per_round = []
+for _ in range(rounds):
+    t0 = time.monotonic()
+    m = eng.run_round()
+    per_round.append({{"sec": round(time.monotonic() - t0, 2),
+                      "fetched": m["fetched"] + m["failed"]}})
+    print(f"  [{{cores}}c] round {{m['round']}}: {{per_round[-1]}}", file=sys.stderr)
+shutil.rmtree(state, ignore_errors=True)
+print(json.dumps(per_round))
+"""
+
+
+def run_level(cores: int, corpus_dir: str, seed: str, rounds: int,
+              cap: int) -> list[dict]:
+    script = RUNNER.format(repo=REPO)
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), corpus_dir, seed,
+         str(rounds), str(cap)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600)
+    sys.stderr.write(out.stderr[-2000:])
+    if out.returncode != 0:
+        raise RuntimeError(f"level {cores} failed: {out.stderr[-1000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hosts", type=int, default=2000)
+    ap.add_argument("--pph", type=int, default=25)
+    ap.add_argument("--cap", type=int, default=10000)
+    ap.add_argument("--rounds", type=int, default=7)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--levels", type=str, default="8,32")
+    args = ap.parse_args()
+
+    import bench
+    bench.CRAWL_HOSTS = args.hosts
+    bench.CRAWL_PAGES_PER_HOST = args.pph
+    corpus_dir, seed = bench._bench_corpus_dir()
+
+    lo, hi = (int(x) for x in args.levels.split(","))
+    results = {}
+    for cores in (lo, hi):
+        rows = run_level(cores, corpus_dir, seed, args.rounds, args.cap)
+        steady = rows[args.warmup:]
+        fetched = sum(r["fetched"] for r in rows)
+        wall = sum(r["sec"] for r in rows)
+        s_fetched = sum(r["fetched"] for r in steady)
+        s_wall = sum(r["sec"] for r in steady)
+        results[cores] = {
+            "rounds": rows,
+            "urls_per_sec_full": round(fetched / wall, 2),
+            "urls_per_sec_steady": round(s_fetched / s_wall, 2) if s_wall else 0,
+            "fetched": fetched,
+        }
+        print(f"local[{cores}]: full={results[cores]['urls_per_sec_full']} "
+              f"steady={results[cores]['urls_per_sec_steady']} urls/s")
+
+    ratio = hi / lo
+    eff_full = results[hi]["urls_per_sec_full"] / \
+        results[lo]["urls_per_sec_full"] / ratio
+    eff_steady = results[hi]["urls_per_sec_steady"] / \
+        results[lo]["urls_per_sec_steady"] / ratio
+
+    out = {
+        "input": {"hosts": args.hosts, "pages_per_host": args.pph,
+                  "fetch_cap": args.cap, "rounds": args.rounds,
+                  "warmup_excluded": args.warmup},
+        "levels": {str(k): v for k, v in results.items()},
+        "scaling_efficiency_full": round(eff_full, 3),
+        "scaling_efficiency_steady": round(eff_steady, 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    _write_md(out, lo, hi)
+
+
+def _write_md(out, lo, hi):
+    li, hiv = out["levels"][str(lo)], out["levels"][str(hi)]
+    md = f"""# BENCH/BASELINE — measured numbers
+
+Protocol (BASELINE.md): the identical crawl job — same synthetic corpus
+({out['input']['hosts']} hosts x {out['input']['pages_per_host']} pages,
+fetch cap {out['input']['fetch_cap']}/round, {out['input']['rounds']} rounds
+from one seed — run at two parallelism levels on this machine as the sandbox
+proxy for N vs 4N executors. Fresh state per run; corpus-backed fetch (zero
+network). "Steady" excludes the first {out['input']['warmup_excluded']}
+rounds (plan compilation + JIT warm-up + frontier ramp-up).
+
+| level | URLs fetched | full-run URLs/s | steady-state URLs/s |
+|---|---|---|---|
+| local[{lo}] | {li['fetched']} | {li['urls_per_sec_full']} | {li['urls_per_sec_steady']} |
+| local[{hi}] | {hiv['fetched']} | {hiv['urls_per_sec_full']} | {hiv['urls_per_sec_steady']} |
+
+Scaling efficiency (throughput@{hi} / throughput@{lo}) / {hi // lo}:
+**{out['scaling_efficiency_full']}** full-run,
+**{out['scaling_efficiency_steady']}** steady-state.
+
+Reference context: the Rust crawler's sustained ceiling is ~6.7 URLs/s
+(100 slots x >=1 s/host politeness, network-bound — BASELINE.md); the
+engine's corpus-backed throughput is bounded by compute + per-round
+control-plane latency instead, which on a real cluster amortizes over far
+larger rounds (the 10^10-frontier design sizes rounds at millions of URLs).
+
+Per-round seconds:
+
+- local[{lo}]: {[r['sec'] for r in li['rounds']]}
+- local[{hi}]: {[r['sec'] for r in hiv['rounds']]}
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -124,6 +124,24 @@ def internal_link_weight(host: str, path: str) -> float:
 
 
 @dataclass(frozen=True)
+class RobotsRule:
+    """One row of the robots policy table (SURVEY.md §2 gap note).
+
+    The reference has no robots.txt support — its stand-ins are the
+    hardcoded per-host crawl delays (ratelimiter.rs:38-54), BANNED_HOSTS
+    (main.rs:54-58) and DO_NOT_FOLLOW_LINKS_FROM_HOSTS (main.rs:47-51).
+    A robots table generalizes all three plus disallow prefixes; with no
+    rules the engine behaves exactly like the reference. Hosts match with
+    F1 suffix semantics (subdomains included, main.rs:300-309)."""
+
+    host: str
+    crawl_delay_sec: int | None = None
+    disallow_prefixes: tuple[str, ...] = ()
+    banned: bool = False
+    no_follow: bool = False
+
+
+@dataclass(frozen=True)
 class EngineConfig:
     """Run-scoped knobs. Defaults reproduce the reference's constants."""
 
@@ -152,8 +170,41 @@ class EngineConfig:
     # 1/salt_target_partitions get split across ceil(share*partitions) salts.
     shuffle_partitions: int = 32
     bloom_fpp: float = 0.01
+    robots: tuple["RobotsRule", ...] = ()
+
+    def _robots_rule(self, host: str) -> "RobotsRule | None":
+        for r in self.robots:
+            if host == r.host or host.endswith("." + r.host):
+                return r
+        return None
+
+    def effective_banned(self, host: str) -> bool:
+        from .urlutil import hosts_list_contains
+
+        if hosts_list_contains(self.banned_hosts, host):
+            return True
+        r = self._robots_rule(host)
+        return r is not None and r.banned
+
+    def effective_no_follow(self, host: str) -> bool:
+        from .urlutil import hosts_list_contains
+
+        if hosts_list_contains(self.no_follow_hosts, host):
+            return True
+        r = self._robots_rule(host)
+        return r is not None and r.no_follow
+
+    def disallowed(self, host: str, path: str) -> bool:
+        """robots Disallow: path-prefix match; path includes leading '/'."""
+        r = self._robots_rule(host)
+        if r is None:
+            return False
+        return any(path.startswith(p) for p in r.disallow_prefixes)
 
     def delay_for_host(self, host: str) -> int:
+        r = self._robots_rule(host)
+        if r is not None and r.crawl_delay_sec is not None:
+            return r.crawl_delay_sec
         while True:
             if host in self.host_crawl_delays:
                 return self.host_crawl_delays[host]

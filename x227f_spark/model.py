@@ -85,14 +85,18 @@ class GoldenModel:
             self.scores.append(1.0)
         return self.known[page_id]
 
-    def _banned_url(self, url: str) -> bool:
+    def _admission_blocked(self, url: str) -> bool:
+        """Banned host (data.rs:196-198) or robots Disallow prefix (the
+        robots-table generalization; no rules → reference behavior)."""
         u = Url.parse(url)
         host = u.host if u else ""
-        return hosts_list_contains(self.cfg.banned_hosts, host)
+        path = u.path if u else ""
+        return self.cfg.effective_banned(host) or \
+            self.cfg.disallowed(host, path)
 
     def add_to_queue(self, url: str) -> bool:
         """data.rs:195-208."""
-        if self._banned_url(url):
+        if self._admission_blocked(url):
             return False
         pid = page_id_of(url)
         if pid in self.in_flight:
@@ -235,8 +239,8 @@ class GoldenModel:
 
     # ---- E4: edge derivation (data.rs:354-416) ----------------------------
     def derive_links(self, page: PageRecord, end_of_round_pages: set[str]):
-        if hosts_list_contains(self.cfg.no_follow_hosts,
-                               (Url.parse(page.url).host if Url.parse(page.url) else "")):
+        u = Url.parse(page.url)
+        if self.cfg.effective_no_follow(u.host if u else ""):
             return []
         host, path = page_id_of(page.url).split("/", 1) if "/" in page_id_of(page.url) \
             else (page_id_of(page.url), "")

@@ -249,3 +249,70 @@ WITH tok AS (
 )
 SELECT doc_id, {' || '.join(nibbles)} AS simhash FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (over the embeddings table)
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.9
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Scale path: candidates are generated per IVF bucket (vectors sharing a
+    nearest centroid), so the pairwise comparison is per-bucket, not global
+    O(n²); the centroid assignment is the same operator as ann_ivf_assign.
+    """
+    from .similarity import _dot, _norm, ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    v = (emb.join(assign, "vec_id")
+         .select("vec_id", "centroid_id", F.col("embedding").alias("v")))
+    a = v.select(F.col("vec_id").alias("id_a"), "centroid_id",
+                 F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"),
+                 F.col("centroid_id").alias("cb"), F.col("v").alias("vb"))
+    pairs = a.join(b, (F.col("centroid_id") == F.col("cb"))
+                   & (F.col("id_a") < F.col("id_b")))
+    cos = F.round(_dot(F.col("va"), F.col("vb"))
+                  / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+    return (pairs.select("id_a", "id_b", cos.alias("cos_sim"))
+            .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD))
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM embeddings WHERE vec_id < 8
+), v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), scored AS (
+  SELECT vec_id, centroid_id,
+         round(list_dot_product(cv, v)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(v, v))),
+               6) AS sim
+  FROM v0 CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM scored) WHERE rn = 1
+), vv AS (
+  SELECT v0.vec_id, a.centroid_id, v0.v
+  FROM v0 JOIN assign a ON v0.vec_id = a.vec_id
+)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+FROM vv x JOIN vv y
+  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+WHERE round(list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))), 6) >= {COSINE_DUP_THRESHOLD}
+"""

@@ -258,49 +258,74 @@ def validate_image_udf(image_url: pd.Series, joined: pd.Series,
 # T5 + P8 — per-page scrape-budget pass
 # ---------------------------------------------------------------------------
 
-def budget_pass(cand: DataFrame) -> DataFrame:
-    """groupBy(crawl_pos).applyInPandas applying the rotation heuristic and
-    the 100-candidates-no-hits abort, emitting kept buttons."""
+def budget_pass(cand: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """T5 rotation + P8 abort, emitting kept buttons.
+
+    The sequential rule (image.rs:26-65) has a closed form: ``valid`` only
+    ever grows, so the abort (break when >100 scraped and 0 valid) fires iff
+    none of the first 101 candidates *in rotated order* is a button — and in
+    that case nothing was kept anyway. Hence: keep no buttons when the first
+    101 rotated candidates contain none, else keep every button. That makes
+    the whole pass vectorizable: one partition-level mapInPandas (pandas
+    groupby inside), instead of a 10k-tiny-group applyInPandas.
+    """
     schema = ("crawl_pos long, ord int, source string, hash string, "
               "file_ext string, target string, last_visited timestamp, "
               "alt string, title string")
+    out_cols = ["crawl_pos", "ord", "source", "hash", "file_ext", "target",
+                "last_visited", "alt", "title"]
 
-    def _one_page(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ord").reset_index(drop=True)
-        n = len(pdf)
-        keep_rows = []
-        valid = scraped = 0
-        for i in candidate_scrape_order(n):
-            row = pdf.iloc[i]
-            scraped += 1
-            btn = None
-            if bool(row["cache_fresh"]):
-                btn = dict(source=row["image_url"], hash=row["c_hash"],
-                           file_ext=row["c_ext"], last_visited=row["c_last"])
-            elif row["disposition"] == "valid":
-                btn = dict(source=row["source"], hash=row["hash"],
-                           file_ext=row["file_ext"], last_visited=row["now"])
-            elif row["disposition"] == "error" and row["c_hash"] is not None:
-                # stale-cache fallback (image.rs:108-125)
-                btn = dict(source=row["image_url"], hash=row["c_hash"],
-                           file_ext=row["c_ext"], last_visited=row["c_last"])
-            if btn is not None:
-                valid += 1
-                keep_rows.append({
-                    "crawl_pos": row["crawl_pos"], "ord": int(row["ord"]),
-                    "target": row["href"], "alt": row["alt"],
-                    "title": row["title"], **btn})
-            if scraped > 100 and valid == 0:
-                break
-        if not keep_rows:
-            return pd.DataFrame(columns=["crawl_pos", "ord", "source", "hash",
-                                         "file_ext", "target", "last_visited",
-                                         "alt", "title"])
-        return pd.DataFrame(keep_rows)[["crawl_pos", "ord", "source", "hash",
-                                        "file_ext", "target", "last_visited",
-                                        "alt", "title"]]
+    def process(batches):
+        import numpy as np
 
-    return cand.groupBy("crawl_pos").applyInPandas(_one_page, schema)
+        parts = list(batches)
+        if not parts:
+            return
+        df = pd.concat(parts, ignore_index=True)
+        if df.empty:
+            yield pd.DataFrame(columns=out_cols)
+            return
+        df = df.sort_values(["crawl_pos", "ord"], kind="mergesort")
+
+        fresh = df["cache_fresh"].fillna(False).to_numpy(dtype=bool)
+        valid_new = (df["disposition"] == "valid").to_numpy()
+        has_cache = df["c_hash"].notna().to_numpy()
+        err = (df["disposition"] == "error").to_numpy()
+        is_btn = fresh | valid_new | (~fresh & err & has_cache)
+
+        keep = np.zeros(len(df), dtype=bool)
+        grp = df.groupby("crawl_pos", sort=False).indices
+        for _pos, idx in grp.items():
+            n = len(idx)
+            order = candidate_scrape_order(n)
+            first = np.asarray(order[: min(n, 101)])
+            if not is_btn[idx[first]].any():
+                continue  # P8 abort (or simply nothing valid)
+            keep[idx] = is_btn[idx]
+
+        kept = df[keep]
+        if kept.empty:
+            yield pd.DataFrame(columns=out_cols)
+            return
+        k_fresh = kept["cache_fresh"].fillna(False).to_numpy(dtype=bool)
+        k_valid = (kept["disposition"] == "valid").to_numpy()
+        use_cache = k_fresh | ~k_valid  # fresh hit or stale fallback
+        out = pd.DataFrame({
+            "crawl_pos": kept["crawl_pos"].values,
+            "ord": kept["ord"].values,
+            "source": np.where(use_cache, kept["image_url"], kept["source"]),
+            "hash": np.where(use_cache, kept["c_hash"], kept["hash"]),
+            "file_ext": np.where(use_cache, kept["c_ext"], kept["file_ext"]),
+            "target": kept["href"].values,
+            "last_visited": kept["c_last"].where(
+                pd.Series(use_cache, index=kept.index), kept["now"]).values,
+            "alt": kept["alt"].values,
+            "title": kept["title"].values,
+        })
+        yield out
+
+    return (cand.repartition(num_partitions, "crawl_pos")
+            .mapInPandas(process, schema))
 
 
 # ---------------------------------------------------------------------------

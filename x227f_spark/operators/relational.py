@@ -367,3 +367,114 @@ SELECT DISTINCT doc_id, 'cdn.img.' || source || '.net' AS host,
          '.') AS crawl_delay_host
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# O2/O3 — except / anti set ops (garbagecollect.rs:18-28, page.rs:286-291)
+# ---------------------------------------------------------------------------
+
+def o2_except_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Files-on-disk minus linked files ≅ parts never shipped (J6 shape)."""
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (part.select(F.col("p_partkey").alias("key"))
+            .subtract(lineitem.select(F.col("l_partkey").alias("key"))))
+
+
+O2_SQL = """
+SELECT p_partkey AS key FROM part
+EXCEPT
+SELECT l_partkey FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# G3 — outdegree count incl. duplicates (pagerank.rs:50,78)
+# ---------------------------------------------------------------------------
+
+def g3_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.select((F.col("o_custkey") % PR_MOD).alias("src"),
+                          (F.col("o_orderkey") % PR_MOD).alias("dst"))
+    return edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+
+G3_SQL = f"""
+SELECT (o_custkey % {PR_MOD}) AS src, count(*) AS outdeg
+FROM orders GROUP BY (o_custkey % {PR_MOD})
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 — cache lookup with freshness + stale fallback (image.rs:75-125)
+# ---------------------------------------------------------------------------
+
+def j1_cache_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer=candidates, orders=cache: latest order per custkey is the
+    cache entry; fresh iff within 168h of NOW; fallback=stale entry."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"),
+                                           F.desc("o_orderkey"))
+    cache = (orders.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .select(F.col("o_custkey").alias("c_custkey"),
+                     F.col("o_orderkey").alias("cached_key"),
+                     F.col("o_orderdate").alias("cached_at")))
+    fresh = (F.unix_timestamp(F.col("cached_at")) + 168 * 3600
+             > F.lit(NOW_EPOCH))
+    return (customer.join(cache, "c_custkey", "left")
+            .select("c_custkey", "cached_key",
+                    F.when(F.col("cached_key").isNotNull(), fresh)
+                    .otherwise(F.lit(False)).alias("fresh")))
+
+
+J1_SQL = f"""
+WITH cache AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS cached_key,
+         o_orderdate AS cached_at
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC,
+                                              o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+)
+SELECT c.c_custkey, cache.cached_key,
+       CASE WHEN cache.cached_key IS NOT NULL
+            THEN epoch(cache.cached_at) + 168 * 3600 > {NOW_EPOCH}
+            ELSE false END AS fresh
+FROM customer c LEFT JOIN cache ON c.c_custkey = cache.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4 — failure/backoff merge semantics (main.rs:271-287)
+# ---------------------------------------------------------------------------
+
+def p4_backoff_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages=customer, this-round errors=orders with status 'F'-ish: failed
+    increments for error keys, resets for success keys — the MERGE shape."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    outcomes = (orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+                .agg(F.max(F.when(F.col("o_orderstatus") == "F", 1)
+                           .otherwise(0)).alias("had_failure")))
+    prev_failed = (F.col("c_custkey") % 3).cast("int")
+    return (customer.join(outcomes, "c_custkey", "left")
+            .select("c_custkey",
+                    F.when(F.col("had_failure").isNull(), prev_failed)
+                    .when(F.col("had_failure") == 1, prev_failed + 1)
+                    .otherwise(F.lit(0)).alias("failed")))
+
+
+P4_SQL = """
+WITH outcomes AS (
+  SELECT o_custkey AS c_custkey,
+         max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS had_failure
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey,
+       CASE WHEN o.had_failure IS NULL THEN (c.c_custkey % 3)::INT
+            WHEN o.had_failure = 1 THEN (c.c_custkey % 3)::INT + 1
+            ELSE 0 END AS failed
+FROM customer c LEFT JOIN outcomes o ON c.c_custkey = o.c_custkey
+"""

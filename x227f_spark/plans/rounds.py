@@ -124,6 +124,31 @@ class CrawlEngine:
         self._round_persists.append(df)
         return df
 
+    def _admit_ok_col(self, url_col, host_col):
+        """Admission gate (data.rs:196-198 + robots Disallow), expanded to
+        literal Column predicates (robots rules are config constants, so
+        Catalyst constant-folds the whole gate)."""
+        cfg = self.cfg
+        blocked = hosts_list_contains_col(host_col, cfg.banned_hosts)
+        path_col = F.regexp_extract(
+            F.regexp_replace(url_col, r"^[a-z][a-z0-9+.-]*://[^/]*", ""),
+            r"^([^?#]*)", 1)
+        for rule in cfg.robots:
+            matches = (host_col == rule.host) | host_col.endswith("." + rule.host)
+            if rule.banned:
+                blocked = blocked | matches
+            for p in rule.disallow_prefixes:
+                blocked = blocked | (matches & path_col.startswith(p))
+        return ~blocked
+
+    def _no_follow_col(self, host_col):
+        cond = hosts_list_contains_col(host_col, self.cfg.no_follow_hosts)
+        for rule in self.cfg.robots:
+            if rule.no_follow:
+                cond = cond | (host_col == rule.host) \
+                    | host_col.endswith("." + rule.host)
+        return cond
+
     # -- state access -------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         return self.store.read(name, SCHEMAS[name])
@@ -139,8 +164,10 @@ class CrawlEngine:
         sp = self.cfg.starting_point
         u = Url.parse(sp)
         host = u.host if u else ""
+        path = u.path if u else ""
         staged: dict[str, DataFrame] = {}
-        if not hosts_list_contains(self.cfg.banned_hosts, host):
+        if not (self.cfg.effective_banned(host)
+                or self.cfg.disallowed(host, path)):
             pid = page_id_of(sp)
             staged["queue"] = self.spark.createDataFrame(
                 [(0, sp, pid, host)], SCHEMAS["queue"])
@@ -222,7 +249,7 @@ class CrawlEngine:
         adding = self._persist(adding)
         add_host = url_host(F.col("cand_url"))
         new_entries = (
-            adding.where(~hosts_list_contains_col(add_host, cfg.banned_hosts))
+            adding.where(self._admit_ok_col(F.col("cand_url"), add_host))
             .select((F.lit(max_pos) + F.col("add_pos")).alias("queue_pos"),
                     F.col("cand_url").alias("url"), "page_id",
                     add_host.alias("host"))
@@ -402,7 +429,8 @@ class CrawlEngine:
             F.col("v.file_ext").alias("file_ext"),
             F.col("v.source").alias("source"),
             F.lit(now).alias("now"))
-        btns = self._persist(fetch_ops.budget_pass(cand))
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        btns = self._persist(fetch_ops.budget_pass(cand, n_part))
 
         buttons_by_page = btns.groupBy("crawl_pos").agg(
             F.sort_array(F.collect_list(F.struct(
@@ -489,8 +517,7 @@ class CrawlEngine:
 
         # ---- E4: link derivation (data.rs:354-416) --------------------------
         src_host = url_host(F.col("res_url"))
-        followable = fetched.where(
-            ~hosts_list_contains_col(src_host, cfg.no_follow_hosts))
+        followable = fetched.where(~self._no_follow_col(src_host))
         pid_host = F.split(F.col("page_id"), "/", 2).getItem(0)
         pid_path = F.when(F.col("page_id").contains("/"),
                           F.split(F.col("page_id"), "/", 2).getItem(1)) \
