@@ -72,3 +72,16 @@ def test_scores_match(golden, engine):
     for node_id, score in enumerate(golden.scores):
         if node_id in got:
             assert abs(got[node_id] - score) < 1e-9, node_id
+
+
+def test_media_store(golden, engine):
+    """S8 — content-addressed media sink parity."""
+    from x227f_spark.imagebytes import hash_image
+
+    got = {r["media_ref"]: (bytes(r["bytes"]), r["file_ext"])
+           for r in engine.table("media").collect()}
+    want = golden.media
+    assert set(got) == set(want)
+    for ref, (data, ext) in want.items():
+        assert got[ref] == (data, ext), ref
+        assert hash_image(data) == ref  # content-addressing invariant

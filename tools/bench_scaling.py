@@ -35,7 +35,8 @@ rounds = int(sys.argv[4]); cap = int(sys.argv[5])
 spark = get_spark(cores=cores, app_name=f"scaling_{{cores}}", driver_memory="48g")
 state = tempfile.mkdtemp(prefix=f"scale{{cores}}_", dir=os.path.join({repo!r}, "_data"))
 eng = CrawlEngine(spark, corpus_dir, state,
-                  config=EngineConfig(starting_point=seed, fetch_cap=cap))
+                  config=EngineConfig(starting_point=seed, fetch_cap=cap,
+                                      queue_cap=4 * cap))
 per_round = []
 for _ in range(rounds):
     t0 = time.monotonic()

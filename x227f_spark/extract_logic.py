@@ -189,6 +189,9 @@ class ButtonData:
     redirect_last_visited: object | None = None
     alt: str | None = None
     title: str | None = None
+    # transient: bytes of a freshly fetched 88x31 (S8 media sink); not part
+    # of the page-state comparison
+    fresh_bytes: bytes | None = None
 
 
 def candidate_scrape_order(n: int, threshold: int = 100, rotate: int = 50) -> list[int]:
@@ -329,4 +332,4 @@ def _scrape_one(cand: CandidateButton, images_get, cache_get, now, ttl):
                       last_visited=now,
                       redirect_from=redirect_from,
                       redirect_last_visited=now if redirect_from else None,
-                      alt=cand.alt, title=cand.title)
+                      alt=cand.alt, title=cand.title, fresh_bytes=bytes(data))

@@ -69,6 +69,7 @@ class GoldenModel:
         self.queue: list[str] = []
         self.in_flight: set[str] = set()
         self.button_cache: dict[str, tuple[str, str, datetime]] = {}
+        self.media: dict[str, tuple[bytes, str]] = {}  # S8 content store
         self.trace: list[TraceEvent] = []
         self.metrics: list[dict] = []
         self.round = 0
@@ -314,6 +315,8 @@ class GoldenModel:
                 pid = page_id_of(page.url)
                 # insert_page (data.rs:298-326): cache update + upsert
                 for b in page.buttons:
+                    if b.fresh_bytes is not None and b.hash not in self.media:
+                        self.media[b.hash] = (b.fresh_bytes, b.file_ext)
                     if b.source is not None:
                         self.button_cache[b.source] = (b.hash, b.file_ext,
                                                        b.last_visited)

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
-    StringType, StructType, StructField,
+    BinaryType, StringType, StructType, StructField,
 )
 
 from ..constants import EngineConfig
@@ -177,6 +177,7 @@ def bypass_url_udf(image_url: pd.Series) -> pd.Series:
     StructField("hash", StringType()),
     StructField("file_ext", StringType()),
     StructField("source", StringType()),
+    StructField("bytes", BinaryType()),
 ]))
 def validate_image_udf(image_url: pd.Series, joined: pd.Series,
                        f_found: pd.Series, f_status: pd.Series,
@@ -193,7 +194,8 @@ def validate_image_udf(image_url: pd.Series, joined: pd.Series,
     def _nn(v):  # "not null" — nullable Arrow columns surface as NaN/None
         return v is not None and not (isinstance(v, float) and pd.isna(v))
 
-    out = {"disposition": [], "hash": [], "file_ext": [], "source": []}
+    out = {"disposition": [], "hash": [], "file_ext": [], "source": [],
+           "bytes": []}
     for i in range(len(image_url)):
         url = image_url.iloc[i]
         if url is not None and url.startswith("data:"):
@@ -233,18 +235,19 @@ def validate_image_udf(image_url: pd.Series, joined: pd.Series,
         if dl.get("error"):
             out["disposition"].append("error")
             out["hash"].append(None); out["file_ext"].append(None)
-            out["source"].append(None)
+            out["source"].append(None); out["bytes"].append(None)
             continue
         data, fmt = dl.get("bytes"), dl.get("format")
         if not data or fmt is None or \
                 imagebytes.validate_image_size(data, fmt) is not True:
             out["disposition"].append("not_button")
             out["hash"].append(None); out["file_ext"].append(None)
-            out["source"].append(None)
+            out["source"].append(None); out["bytes"].append(None)
             continue
         out["disposition"].append("valid")
         out["hash"].append(imagebytes.hash_image(data))
         out["file_ext"].append(imagebytes.format_extension(fmt))
+        out["bytes"].append(bytes(data))
         if url.startswith("data:"):
             out["source"].append(None)  # data: URIs have no source URL
         elif bool(was_transformed.iloc[i]):

@@ -59,12 +59,14 @@ SCHEMAS = {
     "queue": "queue_pos long, url string, page_id string, host string",
     "button_cache": ("url string, hash string, file_ext string, "
                      "last_visited timestamp"),
+    "media": ("media_ref string, bytes binary, file_ext string, "
+              "width int, height int"),
     "trace": "round int, seq long, page_id string, host string, action string",
     "metrics": ("round int, admitted long, fetched long, failed long, "
                 "queue_size long, seen_size long, duration_ms long"),
 }
 
-APPEND_TABLES = {"seen", "trace", "metrics"}
+APPEND_TABLES = {"seen", "trace", "metrics", "media"}
 
 
 class CrawlEngine:
@@ -292,12 +294,15 @@ class CrawlEngine:
             return {"round": r, "admitted": 0, "fetched": 0, "failed": 0}
 
         # ---- fetch + extract (operators/fetch.py) --------------------------
-        fetched, errors, btns = self._fetch(selected, cache, now)
+        fetched, errors, btns, media_new = self._fetch(selected, cache, now)
 
         # ---- commit ---------------------------------------------------------
         staged, appended, counts = self._commit_plan(
             r, now, selected, n_selected, fetched, errors, btns,
             pages, seen, discovered, edges, scores, queue_after, cache)
+        media = self.table("media")
+        appended["media"] = media_new.join(
+            media.select("media_ref"), "media_ref", "left_anti")
         dur = int((time.monotonic() - t0) * 1000)
         q_n = queue_after.count()
         m = self.spark.createDataFrame(
@@ -428,9 +433,25 @@ class CrawlEngine:
             F.col("v.hash").alias("hash"),
             F.col("v.file_ext").alias("file_ext"),
             F.col("v.source").alias("source"),
+            F.col("v.bytes").alias("img_bytes"),
             F.lit(now).alias("now"))
+        cand = self._persist(cand)
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        btns = self._persist(fetch_ops.budget_pass(cand, n_part))
+        btns = self._persist(fetch_ops.budget_pass(
+            cand.drop("img_bytes"), n_part))
+        # S8 — content-addressed media sink: bytes of freshly fetched valid
+        # buttons that were actually kept (write-iff-absent happens at commit)
+        media_new = (btns.select("crawl_pos", "ord", "hash", "file_ext")
+                     .join(cand.where((F.col("disposition") == "valid")
+                                      & ~F.col("cache_fresh")
+                                      & F.col("img_bytes").isNotNull())
+                           .select("crawl_pos", "ord", "img_bytes"),
+                           ["crawl_pos", "ord"])
+                     .select(F.col("hash").alias("media_ref"),
+                             F.col("img_bytes").alias("bytes"),
+                             "file_ext", F.lit(88).alias("width"),
+                             F.lit(31).alias("height"))
+                     .dropDuplicates(["media_ref"]))
 
         buttons_by_page = btns.groupBy("crawl_pos").agg(
             F.sort_array(F.collect_list(F.struct(
@@ -455,7 +476,7 @@ class CrawlEngine:
             .localCheckpoint(eager=True)
         )
         # errors is a cheap filter over the checkpointed f2 — no extra ckpt
-        return fetched, errors, btns
+        return fetched, errors, btns, media_new
 
     # ------------------------------------------------------------------
     def _commit_plan(self, r, now, selected, n_selected, fetched, errors,
