@@ -63,24 +63,54 @@ class StateStore:
         except FileNotFoundError:
             self._cow, self._append, self.round, self.stats = {}, {}, 0, {}
 
+    # write-spread keys: hash-repartition each staged table on its key so
+    # parquet+zstd encoding parallelizes across cores instead of the 1-2
+    # AQE-coalesced partitions a small shuffle ends with. Content-neutral:
+    # nothing downstream assumes file order.
+    WRITE_KEYS = {
+        "pages": "page_id", "seen": "page_id", "edges": "src",
+        "scores": "node_id", "discovered": "node_id", "queue": "queue_pos",
+        "button_cache": "url", "media": "media_ref", "trace": "seq",
+    }
+
+    def _spread(self, name: str, df: DataFrame) -> DataFrame:
+        key = self.WRITE_KEYS.get(name)
+        if key is None:
+            return df
+        n = self.spark.sparkContext.defaultParallelism
+        return df.repartition(n, df[key])
+
     def commit(self, round_no: int, overwrite: dict[str, DataFrame],
                append: dict[str, DataFrame] | None = None,
                stats: dict | None = None) -> None:
         """Write staged tables as new version dirs, then atomically flip the
-        checkpoint pointer. One call per crawl round (P3)."""
+        checkpoint pointer. One call per crawl round (P3). Table writes are
+        submitted concurrently (Spark schedules them side by side), which is
+        the snapshot-store analogue of Iceberg's parallel manifest writes."""
+        from concurrent.futures import ThreadPoolExecutor
+
         new_cow = dict(self._cow)
         new_append = {k: list(v) for k, v in self._append.items()}
+        jobs = []
         for name, df in overwrite.items():
             prev = max([new_cow.get(name, 0)]
                        + new_append.get(name, [0]))
             v = prev + 1
-            df.write.mode("overwrite").parquet(self._table_path(name, v))
+            jobs.append((name, df, v))
             new_cow[name] = v
         for name, df in (append or {}).items():
             prev = max(new_append.get(name, [0]) + [new_cow.get(name, 0)])
             v = prev + 1
-            df.write.mode("overwrite").parquet(self._table_path(name, v))
+            jobs.append((name, df, v))
             new_append.setdefault(name, []).append(v)
+
+        def _write(job):
+            name, df, v = job
+            self._spread(name, df).write.mode("overwrite").parquet(
+                self._table_path(name, v))
+
+        with ThreadPoolExecutor(max_workers=min(len(jobs), 6) or 1) as ex:
+            list(ex.map(_write, jobs))
         ck = {"round": round_no, "cow": new_cow, "append": new_append,
               "stats": stats if stats is not None else self.stats}
         ck_path = os.path.join(self.root, "checkpoints", f"r{round_no:06d}.json")
