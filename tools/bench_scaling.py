@@ -49,13 +49,23 @@ print(json.dumps(per_round))
 """
 
 
+def _pin(cores: int) -> list[str]:
+    """Pin the whole run (JVM task threads + Python UDF workers) to `cores`
+    physical CPUs. Without this the local[8] leg spreads its 8 task threads
+    plus 8 Python workers over all 32 CPUs — i.e. it isn't an 8-core cluster
+    at all, and N-vs-4N efficiency is meaningless."""
+    if os.cpu_count() and cores < os.cpu_count():
+        return ["taskset", "-c", f"0-{cores - 1}"]
+    return []
+
+
 def run_level(cores: int, corpus_dir: str, seed: str, rounds: int,
               cap: int) -> list[dict]:
     script = RUNNER.format(repo=REPO)
     env = dict(os.environ)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), corpus_dir, seed,
-         str(rounds), str(cap)],
+        _pin(cores) + [sys.executable, "-c", script, str(cores), corpus_dir,
+                       seed, str(rounds), str(cap)],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3600)
     sys.stderr.write(out.stderr[-2000:])
     if out.returncode != 0:
@@ -125,9 +135,15 @@ Protocol (BASELINE.md): the identical crawl job — same synthetic corpus
 ({out['input']['hosts']} hosts x {out['input']['pages_per_host']} pages,
 fetch cap {out['input']['fetch_cap']}/round, {out['input']['rounds']} rounds
 from one seed — run at two parallelism levels on this machine as the sandbox
-proxy for N vs 4N executors. Fresh state per run; corpus-backed fetch (zero
-network). "Steady" excludes the first {out['input']['warmup_excluded']}
-rounds (plan compilation + JIT warm-up + frontier ramp-up).
+proxy for N vs 4N executors. Each leg is CPU-pinned (`taskset -c 0-(N-1)`)
+so local[{lo}] really is an {lo}-core machine for the JVM task threads AND
+the Python/Arrow UDF workers — without pinning the small leg borrows all
+{hi} physical CPUs for its UDF workers and the comparison is meaningless.
+Shuffle/spill scratch on tmpfs (both legs share one physical disk; on a
+real cluster that I/O scales with the executors). Fresh state per run;
+corpus-backed fetch (zero network). "Steady" excludes the first
+{out['input']['warmup_excluded']} rounds (plan compilation + JIT warm-up +
+frontier ramp-up).
 
 | level | URLs fetched | full-run URLs/s | steady-state URLs/s |
 |---|---|---|---|
@@ -149,6 +165,34 @@ Per-round seconds:
 - local[{lo}]: {[r['sec'] for r in li['rounds']]}
 - local[{hi}]: {[r['sec'] for r in hiv['rounds']]}
 """
+    fs_path = os.path.join(REPO, "BENCH", "fetch_stage_scaling.json")
+    if os.path.exists(fs_path):
+        with open(fs_path) as f:
+            fs = json.load(f)
+        lvl = fs["levels"]
+        keys = sorted(lvl, key=int)
+        md += f"""
+## Data-plane (fetch/extract stage) scaling
+
+`tools/bench_fetch_stage.py` — the per-round data plane alone (corpus join →
+extraction UDF → candidate pipeline → validation UDF → budget pass → button
+re-assembly) on a fixed {fs['n']}-URL fetch set, same pinning protocol,
+best-of-reps after warm-up:
+
+| level | best sec | URLs/s |
+|---|---|---|
+"""
+        for k in keys:
+            md += (f"| local[{k}] | {lvl[k]['best']} | "
+                   f"{lvl[k]['urls_per_sec']} |\n")
+        md += (f"\nFetch-stage scaling efficiency: "
+               f"**{fs['fetch_stage_scaling_efficiency']}**. This is the\n"
+               f"part of the round that is pure distributed data-plane work "
+               f"(what a 1000-executor\ncluster replicates); the end-to-end "
+               f"number above additionally carries the\nper-round "
+               f"control-plane floor, which amortizes at production round "
+               f"sizes\n(millions of URLs/round at the 10^10-frontier "
+               f"design point).\n")
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
 

@@ -28,6 +28,8 @@ from dataclasses import replace
 from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
+
+from ..operators.ranked import global_row_number
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -245,9 +247,9 @@ class CrawlEngine:
         # push that crosses the cap — a plain limit expresses it: when fewer
         # candidates exist the limit is a no-op
         limit_n = max(cfg.queue_cap - queue_len, 0) + 1
-        w_rank = W.orderBy(F.desc("score"), F.asc("node_id"))
-        adding = (cand.withColumn("add_pos", F.row_number().over(w_rank))
-                  .where(F.col("add_pos") <= limit_n))
+        adding = global_row_number(
+            cand, [F.desc("score"), F.asc("node_id")], "add_pos",
+            persist=self._persist).where(F.col("add_pos") <= limit_n)
         adding = self._persist(adding)
         add_host = url_host(F.col("cand_url"))
         new_entries = (
@@ -265,18 +267,24 @@ class CrawlEngine:
 
         # ---- schedule: T3 + P1 (data.rs:418-439, ratelimiter.rs) ----------
         w_host = W.partitionBy("host").orderBy("queue_pos")
-        w_global = W.orderBy("queue_pos")
         sel = (
             queue2.withColumn("budget", self._host_budget_udf(F.col("host")))
             .withColumn("hr", F.row_number().over(w_host))
             .where(F.col("hr") <= F.col("budget"))
-            .withColumn("gr", F.row_number().over(w_global))
-            .where(F.col("gr") <= cfg.fetch_cap)
         )
-        selected = self._persist(sel.select(
+        sel = global_row_number(sel, ["queue_pos"], "gr",
+                                persist=self._persist) \
+            .where(F.col("gr") <= cfg.fetch_cap)
+        # localCheckpoint, not persist: `selected` feeds every downstream
+        # stage (fetch, commit, trace), so cutting the queue/ranking lineage
+        # here keeps within-round plans bounded (AQE re-plans stringify the
+        # plan; an uncut plan compounds through the round's self-joins).
+        # Small data — fetch_cap narrow rows — so the checkpoint is cheap
+        # and its blocks are reclaimed by the ContextCleaner after the round.
+        selected = sel.select(
             "queue_pos", "url", "page_id", "host",
             (F.col("gr") - 1).cast("long").alias("crawl_pos"),
-        ))
+        ).localCheckpoint(eager=True)
         n_selected = selected.count()
         queue_after = queue2.join(selected.select("queue_pos"),
                                   "queue_pos", "left_anti")
@@ -380,11 +388,13 @@ class CrawlEngine:
         errors = f2.where(F.col("subkind") == "error")
         page_rows = f2.where(F.col("subkind") != "error")
 
-        # extraction over salted host partitions (skew: SURVEY §4 item 2)
+        # extraction over salted host partitions (skew: SURVEY §4 item 2);
+        # partition count follows the session (4x cores) so the stage stays
+        # over-decomposed at any cluster size
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         html = page_rows.where(F.col("subkind") == "html")
         html = html.repartition(
-            self.cfg.shuffle_partitions, F.col("host"),
-            F.pmod(F.xxhash64("url"), F.lit(8)))
+            n_part, F.col("host"), F.pmod(F.xxhash64("url"), F.lit(8)))
         ext = html.withColumn(
             "ext", self._extract_udf(F.col("spans"), F.col("res_url"))
         ).select("crawl_pos",
@@ -436,7 +446,6 @@ class CrawlEngine:
             F.col("v.bytes").alias("img_bytes"),
             F.lit(now).alias("now"))
         cand = self._persist(cand)
-        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         btns = self._persist(fetch_ops.budget_pass(
             cand.drop("img_bytes"), n_part))
         # S8 — content-addressed media sink: bytes of freshly fetched valid
@@ -473,9 +482,14 @@ class CrawlEngine:
                     "file_ext:string,target:string,last_visited:timestamp,"
                     "alt:string,title:string>>")).alias("buttons"),
             )
-            .localCheckpoint(eager=True)
         )
-        # errors is a cheap filter over the checkpointed f2 — no extra ckpt
+        # round-scoped persist, NOT localCheckpoint: checkpoint blocks are
+        # only freed when the JVM GCs the RDD, so one leaked per round grows
+        # block-manager memory over a long crawl. The state parquet commit
+        # truncates lineage anyway; persist gets dropped in
+        # _drop_round_persists at round end.
+        fetched = self._persist(fetched)
+        # errors is a cheap filter over the persisted f2 — no extra cache
         return fetched, errors, btns, media_new
 
     # ------------------------------------------------------------------
@@ -584,13 +598,15 @@ class CrawlEngine:
         new_pids = anti_join_new(targets, "page_id", seen, "page_id", bloom)
         w_first = W.partitionBy("page_id").orderBy(
             "crawl_pos", "link_class", "link_ord")
-        w_assign = W.orderBy("crawl_pos", "link_class", "link_ord")
         # node ids are dense 0..N-1 (insertion order), so max = count-1
         max_id = self._seen_count - 1
+        seen_first = (new_pids.withColumn("rn", F.row_number().over(w_first))
+                      .where(F.col("rn") == 1))
         seen_new = (
-            new_pids.withColumn("rn", F.row_number().over(w_first))
-            .where(F.col("rn") == 1)
-            .withColumn("node_id", F.lit(max_id) + F.row_number().over(w_assign))
+            global_row_number(seen_first,
+                              ["crawl_pos", "link_class", "link_ord"],
+                              "assign_rn", persist=self._persist)
+            .withColumn("node_id", F.lit(max_id) + F.col("assign_rn"))
             .select("page_id", "node_id", F.lit(r).alias("first_seen_round"))
         )
         seen_new = self._persist(seen_new)

@@ -18,10 +18,17 @@ def get_spark(cores: int | None = None, shuffle_partitions: int | None = None,
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # local mode: match cores, not the 200 default — avoids tiny-task
-        # overhead at sandbox scale; a real cluster would size this to
-        # 2-3x total executor cores.
-        shuffle_partitions = cores
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp:
+            shuffle_partitions = int(env_sp)
+        else:
+            # 2x cores: over-decompose so dynamic task scheduling absorbs
+            # stragglers (at exactly 1 task/core every stage barrier waits
+            # on the slowest partition) without paying per-task Python-UDF
+            # setup on too many tiny tasks. AQE coalescing still merges
+            # genuinely small shuffles. A real cluster sizes this the same
+            # way (2-4x total executor cores).
+            shuffle_partitions = 2 * cores
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -34,8 +41,15 @@ def get_spark(cores: int | None = None, shuffle_partitions: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", driver_memory or "24g")
         .config("spark.ui.enabled", "false")
+        # bound AQE/UI plan stringification — a runaway plan should degrade
+        # to a truncated explain, not an OOM in StringBuilder
+        .config("spark.sql.maxPlanStringLength", str(2 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        # e.g. a tmpfs for shuffle/spill when benchmarking compute scaling
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
