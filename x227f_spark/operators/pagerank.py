@@ -26,11 +26,19 @@ from pyspark.sql import functions as F
 
 def pagerank_iterations(nodes: DataFrame, edges: DataFrame, scores: DataFrame,
                         iterations: int, damping: float = 0.85,
-                        checkpoint_every: int = 8) -> DataFrame:
+                        checkpoint_every: int = 8,
+                        cut=None) -> DataFrame:
     """nodes(node_id) · edges(src,dst,weight) · scores(node_id,score) →
     scores after ``iterations`` sweeps. New nodes (absent from ``scores``)
-    start at 1.0."""
+    start at 1.0.
+
+    ``cut``: lineage-cut hook (df → checkpointed df). Defaults to a plain
+    eager ``localCheckpoint``; the engine passes its round-scoped hook so
+    the checkpoint blocks are reclaimed when the round commits."""
     base = 1.0 - damping
+    if cut is None:
+        def cut(df):
+            return df.localCheckpoint(eager=True)
 
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     contrib_edges = (
@@ -39,7 +47,7 @@ def pagerank_iterations(nodes: DataFrame, edges: DataFrame, scores: DataFrame,
         .select("src", "dst", (F.col("weight") / F.col("outdeg")).alias("frac"))
     )
     # reused every iteration — persist once
-    contrib_edges = contrib_edges.localCheckpoint(eager=True)
+    contrib_edges = cut(contrib_edges)
 
     scores = (
         nodes.join(scores, "node_id", "left")
@@ -61,5 +69,5 @@ def pagerank_iterations(nodes: DataFrame, edges: DataFrame, scores: DataFrame,
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            scores = scores.localCheckpoint(eager=True)
-    return scores.localCheckpoint(eager=True)
+            scores = cut(scores)
+    return cut(scores)

@@ -53,6 +53,7 @@ def global_row_number(
     out_col: str,
     num_partitions: int | None = None,
     persist: Callable[[DataFrame], DataFrame] | None = None,
+    return_count: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = 1-based global row number of ``df`` under the
     total order ``order_by``, without a single-partition window.
@@ -61,6 +62,10 @@ def global_row_number(
     (``F.desc(...)`` works). ``persist`` is a round-scoped cache hook
     (CrawlEngine._persist); when None a plain ``.persist()`` is used and
     freed lazily by Spark's ContextCleaner.
+
+    ``return_count=True`` returns ``(df, total_rows)`` — the total falls
+    out of the partition-size prefix sum for free, saving callers a
+    separate ``count()`` job.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -82,9 +87,11 @@ def global_row_number(
         offsets.append((pid, acc))
         acc += sizes[pid]
     if not offsets:
-        return local.withColumn(out_col, F.col(_LRN).cast("long")) \
-                    .drop(_PID, _LRN)
+        out = local.withColumn(out_col, F.col(_LRN).cast("long")) \
+                   .drop(_PID, _LRN)
+        return (out, 0) if return_count else out
     off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
-    return (local.join(F.broadcast(off_df), _PID)
-            .withColumn(out_col, (F.col(_OFF) + F.col(_LRN)).cast("long"))
-            .drop(_PID, _LRN, _OFF))
+    out = (local.join(F.broadcast(off_df), _PID)
+           .withColumn(out_col, (F.col(_OFF) + F.col(_LRN)).cast("long"))
+           .drop(_PID, _LRN, _OFF))
+    return (out, acc) if return_count else out

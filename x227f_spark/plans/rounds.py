@@ -23,11 +23,12 @@ drops the dead join.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import replace
 from datetime import timedelta
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, Observation, SparkSession, Window as W
 
 from ..operators.ranked import global_row_number
 from pyspark.sql import functions as F
@@ -105,6 +106,12 @@ class CrawlEngine:
 
         self._host_budget_udf = host_budget_udf
         self._round_persists = []
+        self._round_cuts = []
+        # per-stage seconds of the last round (diagnostics; also returned by
+        # run_round) and the largest committed-plan string length — the
+        # plan-blowup regression guard (computed when X227F_PLAN_GUARD=1)
+        self.last_timing: dict[str, float] = {}
+        self.last_plan_len: int = 0
         # driver-side scalars maintained across rounds (persisted in the
         # checkpoint's stats; recomputed once on resume of a pre-stats store).
         # node ids are dense 0..N-1 by construction, so max_id = count-1.
@@ -127,6 +134,24 @@ class CrawlEngine:
         df = df.persist()
         self._round_persists.append(df)
         return df
+
+    def _cut(self, df: DataFrame) -> DataFrame:
+        """Round-scoped lineage cut (eager localCheckpoint).
+
+        Unlike ``_persist``, this truncates the *logical plan* (the result
+        scans a materialized RDD). Heavily re-referenced round intermediates
+        (fetched, links, seen_new) MUST be cut, not just cached: every
+        re-reference of a cached plan re-embeds its full subtree in the
+        consumer's plan text, and the commit plan re-references them through
+        unions and self-joins enough times that round 1 shipped 120 MB plan
+        strings (BENCH_r01) — pure driver-side Catalyst/stringify overhead
+        that a 1000-executor cluster cannot parallelize away. The checkpoint
+        blocks are explicitly unpersisted when the round commits (see
+        ``_drop_round_persists``), so a multi-thousand-round crawl does not
+        accumulate block-manager state."""
+        out = df.localCheckpoint(eager=True)
+        self._round_cuts.append(out)
+        return out
 
     def _admit_ok_col(self, url_col, host_col):
         """Admission gate (data.rs:196-198 + robots Disallow), expanded to
@@ -189,6 +214,14 @@ class CrawlEngine:
     # -- one round ------------------------------------------------------------
     def run_round(self) -> dict:
         t0 = time.monotonic()
+        tm: dict[str, float] = {}
+        t_last = [t0]
+
+        def _mark(key: str) -> None:
+            now_t = time.monotonic()
+            tm[key] = round(now_t - t_last[0], 3)
+            t_last[0] = now_t
+
         self._bootstrap()
         r = self.store.round + 1
         cfg = self.cfg
@@ -211,7 +244,9 @@ class CrawlEngine:
             # after >=1 iteration; skips 50 join-agg sweeps at bootstrap
             scores = nodes.select("node_id", F.lit(0.15).alias("score"))
         else:
-            scores = pagerank_iterations(nodes, edges, scores, iters)
+            scores = pagerank_iterations(nodes, edges, scores, iters,
+                                         cut=self._cut)
+        _mark("rank")
 
         # ---- refresh_queue: T1/T2/F11/F12 (data.rs:210-292) ---------------
         qrow = queue.agg(F.count("*").alias("n"),
@@ -272,37 +307,46 @@ class CrawlEngine:
             .withColumn("hr", F.row_number().over(w_host))
             .where(F.col("hr") <= F.col("budget"))
         )
-        sel = global_row_number(sel, ["queue_pos"], "gr",
-                                persist=self._persist) \
-            .where(F.col("gr") <= cfg.fetch_cap)
-        # localCheckpoint, not persist: `selected` feeds every downstream
-        # stage (fetch, commit, trace), so cutting the queue/ranking lineage
-        # here keeps within-round plans bounded (AQE re-plans stringify the
-        # plan; an uncut plan compounds through the round's self-joins).
-        # Small data — fetch_cap narrow rows — so the checkpoint is cheap
-        # and its blocks are reclaimed by the ContextCleaner after the round.
-        selected = sel.select(
+        sel, sel_total = global_row_number(sel, ["queue_pos"], "gr",
+                                           persist=self._persist,
+                                           return_count=True)
+        sel = sel.where(F.col("gr") <= cfg.fetch_cap)
+        # lineage cut, not persist: `selected` feeds every downstream stage
+        # (fetch, commit, trace); an uncached plan would compound through
+        # the round's self-joins. n_selected falls out of the global-rank
+        # prefix sum — no separate count job.
+        selected = self._cut(sel.select(
             "queue_pos", "url", "page_id", "host",
             (F.col("gr") - 1).cast("long").alias("crawl_pos"),
-        ).localCheckpoint(eager=True)
-        n_selected = selected.count()
+        ))
+        n_selected = min(sel_total, cfg.fetch_cap)
         queue_after = queue2.join(selected.select("queue_pos"),
                                   "queue_pos", "left_anti")
+        _mark("sched")
 
         if n_selected == 0:
+            q_obs = Observation()
             staged = {"discovered": discovered, "scores": scores,
-                      "queue": queue_after}
-            dur = int((time.monotonic() - t0) * 1000)
-            q_n = queue_after.count()
-            m = self.spark.createDataFrame(
-                [(r, 0, 0, 0, q_n, self._seen_count, dur)], SCHEMAS["metrics"])
-            self.store.commit(r, staged, {"metrics": m},
-                              stats=self._stats())
-            self._drop_round_persists()
-            return {"round": r, "admitted": 0, "fetched": 0, "failed": 0}
+                      "queue": queue_after.observe(
+                          q_obs, F.count(F.lit(1)).alias("n"))}
+
+            def _late_empty():
+                dur = int((time.monotonic() - t0) * 1000)
+                return {"metrics": self.spark.createDataFrame(
+                    [(r, 0, 0, 0, q_obs.get["n"], self._seen_count, dur)],
+                    SCHEMAS["metrics"])}
+
+            self.store.commit(r, staged, {}, stats=self._stats(),
+                              late_append=_late_empty)
+            _mark("write")
+            self._finish_round(staged)
+            self.last_timing = tm
+            return {"round": r, "admitted": 0, "fetched": 0, "failed": 0,
+                    "timing": tm}
 
         # ---- fetch + extract (operators/fetch.py) --------------------------
         fetched, errors, btns, media_new = self._fetch(selected, cache, now)
+        _mark("fetch")
 
         # ---- commit ---------------------------------------------------------
         staged, appended, counts = self._commit_plan(
@@ -311,22 +355,51 @@ class CrawlEngine:
         media = self.table("media")
         appended["media"] = media_new.join(
             media.select("media_ref"), "media_ref", "left_anti")
-        dur = int((time.monotonic() - t0) * 1000)
-        q_n = queue_after.count()
-        m = self.spark.createDataFrame(
-            [(r, n_selected, counts[0], counts[1], q_n, self._seen_count, dur)],
-            SCHEMAS["metrics"])
-        appended["metrics"] = m
-        self.store.commit(r, staged, appended, stats=self._stats())
-        self._drop_round_persists()
+        _mark("plan")
+        # queue size piggybacks on the staged write via an Observation, and
+        # the metrics row is derived *inside* the commit (late_append) — no
+        # separate count job / double materialization of queue_after.
+        q_obs = Observation()
+        staged["queue"] = staged["queue"].observe(
+            q_obs, F.count(F.lit(1)).alias("n"))
+
+        def _late():
+            dur = int((time.monotonic() - t0) * 1000)
+            return {"metrics": self.spark.createDataFrame(
+                [(r, n_selected, counts[0], counts[1], q_obs.get["n"],
+                  self._seen_count, dur)], SCHEMAS["metrics"])}
+
+        self.store.commit(r, staged, appended, stats=self._stats(),
+                          late_append=_late)
+        _mark("write")
+        self._finish_round(staged)
+        self.last_timing = tm
         return {"round": r, "admitted": n_selected, "fetched": counts[0],
-                "failed": counts[1]}
+                "failed": counts[1], "timing": tm}
 
     # ------------------------------------------------------------------
+    def _finish_round(self, staged: dict[str, DataFrame]) -> None:
+        if os.environ.get("X227F_PLAN_GUARD") == "1":
+            self.last_plan_len = max(
+                (len(df._jdf.queryExecution().toString())
+                 for df in staged.values()), default=0)
+        self._drop_round_persists()
+
     def _drop_round_persists(self) -> None:
         for df in self._round_persists:
             df.unpersist(blocking=False)
         self._round_persists = []
+        # free localCheckpoint blocks now — the state parquet is the durable
+        # copy; waiting for the ContextCleaner's GC-triggered cleanup grows
+        # block-manager memory unboundedly over a long crawl
+        for df in self._round_cuts:
+            try:
+                plan = df._jdf.queryExecution().analyzed()
+                if plan.getClass().getSimpleName() == "LogicalRDD":
+                    plan.rdd().unpersist(False)
+            except Exception:
+                pass  # best-effort; periodic GC cleanup is the fallback
+        self._round_cuts = []
 
     def _stats(self) -> dict:
         return {"seen_count": self._seen_count,
@@ -445,8 +518,11 @@ class CrawlEngine:
             F.col("v.source").alias("source"),
             F.col("v.bytes").alias("img_bytes"),
             F.lit(now).alias("now"))
-        cand = self._persist(cand)
-        btns = self._persist(fetch_ops.budget_pass(
+        # cut, not persist: cand's plan is the whole candidate/validation
+        # case-when tree and btns feeds button_cache, media and the page
+        # re-assembly — uncut they re-embed that tree at every reference
+        cand = self._cut(cand)
+        btns = self._cut(fetch_ops.budget_pass(
             cand.drop("img_bytes"), n_part))
         # S8 — content-addressed media sink: bytes of freshly fetched valid
         # buttons that were actually kept (write-iff-absent happens at commit)
@@ -483,12 +559,12 @@ class CrawlEngine:
                     "alt:string,title:string>>")).alias("buttons"),
             )
         )
-        # round-scoped persist, NOT localCheckpoint: checkpoint blocks are
-        # only freed when the JVM GCs the RDD, so one leaked per round grows
-        # block-manager memory over a long crawl. The state parquet commit
-        # truncates lineage anyway; persist gets dropped in
-        # _drop_round_persists at round end.
-        fetched = self._persist(fetched)
+        # lineage cut: `fetched` is re-referenced by pages2 (union arms),
+        # the three link classes, fetched_src_ids and the trace — a cached
+        # but uncut plan re-embeds the whole fetch/extract subtree at every
+        # reference (the round-1 120 MB plan strings). _cut unpersists the
+        # blocks at round end.
+        fetched = self._cut(fetched)
         # errors is a cheap filter over the persisted f2 — no extra cache
         return fetched, errors, btns, media_new
 
@@ -580,7 +656,10 @@ class CrawlEngine:
                  F.lit(0).alias("link_ord"),
                  F.col("redirects_to").alias("target"),
                  F.lit(0.1).alias("weight"))
-        links = self._persist(
+        # cut, not persist: links feeds node-id assignment, the edge rebuild
+        # (twice, via seen_new→id_map) and the discovered upsert — the plan
+        # re-reference multiplier lives here
+        links = self._cut(
             internal_links.unionByName(button_links)
             .unionByName(redirect_links)
             .withColumn("target_pid", page_id_udf(F.col("target"))))
@@ -602,16 +681,16 @@ class CrawlEngine:
         max_id = self._seen_count - 1
         seen_first = (new_pids.withColumn("rn", F.row_number().over(w_first))
                       .where(F.col("rn") == 1))
-        seen_new = (
-            global_row_number(seen_first,
-                              ["crawl_pos", "link_class", "link_ord"],
-                              "assign_rn", persist=self._persist)
+        ranked_new, n_new = global_row_number(
+            seen_first, ["crawl_pos", "link_class", "link_ord"],
+            "assign_rn", persist=self._persist, return_count=True)
+        seen_new = self._cut(
+            ranked_new
             .withColumn("node_id", F.lit(max_id) + F.col("assign_rn"))
             .select("page_id", "node_id", F.lit(r).alias("first_seen_round"))
         )
-        seen_new = self._persist(seen_new)
         seen_all = self._persist(seen.unionByName(seen_new))
-        self._seen_count += seen_new.count()
+        self._seen_count += n_new
 
         # ---- edges: replace-on-recrawl (canonical rebuild semantics) --------
         id_map = seen_all.select(F.col("page_id").alias("_pid"),

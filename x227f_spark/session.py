@@ -45,6 +45,10 @@ def get_spark(cores: int | None = None, shuffle_partitions: int | None = None,
         # to a truncated explain, not an OOM in StringBuilder
         .config("spark.sql.maxPlanStringLength", str(2 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # fallback reclaim of any checkpoint/broadcast blocks the engine's
+        # explicit round-end unpersist missed (ContextCleaner is weak-ref
+        # driven; a long-running crawl driver may otherwise never GC)
+        .config("spark.cleaner.periodicGC.interval", "10min")
     )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:

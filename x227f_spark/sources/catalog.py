@@ -80,27 +80,44 @@ class StateStore:
         n = self.spark.sparkContext.defaultParallelism
         return df.repartition(n, df[key])
 
+    # append tables merge their accumulated delta dirs into one once this
+    # many pile up — the snapshot-store analogue of Iceberg's rewrite_data_
+    # files compaction. Keeps the per-read file-listing and union fan-in
+    # bounded over thousands of rounds (amortized: one extra full write of
+    # the table every COMPACT_AT rounds).
+    COMPACT_AT = 8
+
     def commit(self, round_no: int, overwrite: dict[str, DataFrame],
                append: dict[str, DataFrame] | None = None,
-               stats: dict | None = None) -> None:
+               stats: dict | None = None,
+               late_append=None) -> None:
         """Write staged tables as new version dirs, then atomically flip the
         checkpoint pointer. One call per crawl round (P3). Table writes are
         submitted concurrently (Spark schedules them side by side), which is
-        the snapshot-store analogue of Iceberg's parallel manifest writes."""
+        the snapshot-store analogue of Iceberg's parallel manifest writes.
+
+        ``late_append``: optional ``() -> dict[name, DataFrame]`` invoked
+        after the main writes finish but before the pointer flips — lets the
+        caller derive tables (metrics) from Observations attached to the
+        staged writes, so counting piggybacks on the write jobs instead of
+        costing separate actions."""
         from concurrent.futures import ThreadPoolExecutor
 
         new_cow = dict(self._cow)
         new_append = {k: list(v) for k, v in self._append.items()}
         jobs = []
+        doomed_deltas: list[str] = []
+
+        def _next_v(name):
+            return max([new_cow.get(name, 0)]
+                       + new_append.get(name, [0])) + 1
+
         for name, df in overwrite.items():
-            prev = max([new_cow.get(name, 0)]
-                       + new_append.get(name, [0]))
-            v = prev + 1
+            v = _next_v(name)
             jobs.append((name, df, v))
             new_cow[name] = v
         for name, df in (append or {}).items():
-            prev = max(new_append.get(name, [0]) + [new_cow.get(name, 0)])
-            v = prev + 1
+            v = _next_v(name)
             jobs.append((name, df, v))
             new_append.setdefault(name, []).append(v)
 
@@ -111,6 +128,28 @@ class StateStore:
 
         with ThreadPoolExecutor(max_workers=min(len(jobs), 6) or 1) as ex:
             list(ex.map(_write, jobs))
+
+        if late_append:
+            late_jobs = []
+            for name, df in (late_append() or {}).items():
+                v = _next_v(name)
+                late_jobs.append((name, df, v))
+                new_append.setdefault(name, []).append(v)
+            for job in late_jobs:
+                _write(job)
+
+        # ---- compaction of accumulated append deltas ----------------------
+        for name, versions in list(new_append.items()):
+            if len(versions) < self.COMPACT_AT:
+                continue
+            merged = self.spark.read.parquet(
+                *[self._table_path(name, v) for v in versions])
+            v = max(versions) + 1
+            self._spread(name, merged).write.mode("overwrite").parquet(
+                self._table_path(name, v))
+            doomed_deltas.extend(self._table_path(name, x) for x in versions)
+            new_append[name] = [v]
+
         ck = {"round": round_no, "cow": new_cow, "append": new_append,
               "stats": stats if stats is not None else self.stats}
         ck_path = os.path.join(self.root, "checkpoints", f"r{round_no:06d}.json")
@@ -121,6 +160,8 @@ class StateStore:
             json.dump(ck, f)
         os.replace(tmp, self._ptr_path())  # the atomic commit point
         self._gc_old_versions(self._cow, new_cow)
+        for path in doomed_deltas:  # superseded by the compacted version
+            shutil.rmtree(path, ignore_errors=True)
         self._cow, self._append = new_cow, new_append
         self.round = round_no
         self.stats = ck["stats"]
