@@ -1,0 +1,61 @@
+"""J2 — Bloom-fronted admission: distributed build correctness at scale.
+
+The engine activates the Bloom pre-prune once the seen set crosses 50k keys
+(plans/rounds.py), which the small golden corpora never reach — so this
+exercises the build/probe path directly at 1M keys: no false negatives
+(correctness — a false negative would re-admit a seen URL), bounded false
+positives (performance only), and exact anti-join equivalence with and
+without the filter.
+"""
+
+from pyspark.sql import functions as F
+
+from x227f_spark.operators.bloom import anti_join_new, build_bloom
+
+N_SEEN = 1_000_000
+N_PROBE = 200_000
+
+
+def _seen(spark):
+    return spark.range(N_SEEN).select(
+        F.concat(F.lit("host"), (F.col("id") % 5000).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string"))
+        .alias("page_id"))
+
+
+def test_no_false_negatives_at_1m(spark):
+    seen = _seen(spark)
+    bloom = build_bloom(seen, F.col("page_id"), expected=N_SEEN, fpp=0.01)
+    probe = seen.limit(N_PROBE)
+    misses = (bloom.might_contain(probe, F.col("page_id"))
+              .where(~F.col("_bloom_hit")).count())
+    assert misses == 0
+
+
+def test_false_positive_rate_bounded(spark):
+    seen = _seen(spark)
+    bloom = build_bloom(seen, F.col("page_id"), expected=N_SEEN, fpp=0.01)
+    absent = spark.range(N_PROBE).select(
+        F.concat(F.lit("absent.example/q"), F.col("id").cast("string"))
+        .alias("page_id"))
+    hits = (bloom.might_contain(absent, F.col("page_id"))
+            .where(F.col("_bloom_hit")).count())
+    assert hits / N_PROBE < 0.03  # ~3x headroom over the 1% target
+
+
+def test_anti_join_parity_with_and_without_bloom(spark):
+    seen = _seen(spark)
+    bloom = build_bloom(seen, F.col("page_id"), expected=N_SEEN, fpp=0.01)
+    targets = spark.range(50_000).select(
+        F.when(F.col("id") % 3 == 0,
+               F.concat(F.lit("host"), (F.col("id") % 5000).cast("string"),
+                        F.lit(".example/p"), F.col("id").cast("string")))
+        .otherwise(F.concat(F.lit("new.example/n"),
+                            F.col("id").cast("string"))).alias("page_id"),
+        F.col("id").alias("crawl_pos"))
+    with_bloom = anti_join_new(targets, "page_id", seen, "page_id", bloom)
+    without = anti_join_new(targets, "page_id", seen, "page_id", None)
+    a = {(r["page_id"], r["crawl_pos"]) for r in with_bloom.collect()}
+    b = {(r["page_id"], r["crawl_pos"]) for r in without.collect()}
+    assert a == b
+    assert len(a) > 0

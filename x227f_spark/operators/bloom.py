@@ -7,9 +7,10 @@ it accepts go through the exact left-anti join. The filter is therefore an
 optimization only — false positives cost a join probe, never correctness.
 
 Implementation: k xxhash64 hash functions computed JVM-side
-(``F.xxhash64`` with per-hash seed columns), bit positions collected into a
-packed numpy bitmap, broadcast to executors, membership tested by a
-vectorized pandas UDF (numpy fancy indexing — no per-row Python).
+(``F.xxhash64`` with per-hash seed columns), per-partition numpy bitmaps
+packed executor-side (Arrow batches) and OR-merged with a treeReduce,
+broadcast to executors, membership tested by a vectorized pandas UDF
+(numpy fancy indexing — no per-row Python).
 
 Scale note (10^10 keys): a single 1%-FPR bloom is ~12 GB — too big to
 broadcast whole. The production path shards the bitmap by
@@ -64,22 +65,46 @@ class BloomFilter:
 
 def build_bloom(df: DataFrame, key: Column, expected: int,
                 fpp: float = 0.01) -> BloomFilter:
-    """Build a broadcast Bloom filter over ``key`` of ``df``."""
+    """Build a broadcast Bloom filter over ``key`` of ``df``.
+
+    Fully distributed: hash positions are computed JVM-side
+    (``F.xxhash64``), each partition packs its own bitmap with numpy
+    (Arrow-batched — no per-row Python), and the partials are OR-combined
+    with a ``treeReduce`` on the executors. Nothing key-proportional ever
+    reaches the driver — only ``ceil(log(P))`` bitmap-sized partials, then
+    the final bitmap (the thing being broadcast anyway). Round 1 collected
+    every distinct bit position to the driver (k×n rows), a multi-GB
+    driver funnel at 10^8 seen keys.
+    """
     expected = max(expected, 16)
     m = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
     k = max(1, round(m / expected * math.log(2)))
     k = min(k, 8)
-    pos_rows = (
-        df.select(F.explode(F.array(*[
-            F.pmod(F.xxhash64(F.lit(i), key), F.lit(m)) for i in range(k)
-        ])).alias("pos"))
-        .distinct()
-        .collect()
-    )
-    bits = np.zeros((m >> 3) + 1, dtype=np.uint8)
-    if pos_rows:
-        idx = np.fromiter((r["pos"] for r in pos_rows), dtype=np.int64)
-        np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    nbytes = (m >> 3) + 1
+
+    pos_df = df.select(*[
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(m)).alias(f"p{i}")
+        for i in range(k)
+    ])
+
+    def _partial(batches):
+        import pyarrow as pa
+
+        bits_p = np.zeros(nbytes, dtype=np.uint8)
+        for batch in batches:
+            for col in range(batch.num_columns):
+                idx = batch.column(col).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                np.bitwise_or.at(bits_p, idx >> 3,
+                                 (1 << (idx & 7)).astype(np.uint8))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([bits_p.tobytes()], type=pa.binary())], names=["bits"])
+
+    partials = pos_df.mapInArrow(_partial, "bits binary")
+    bits = (partials.rdd
+            .map(lambda r: np.frombuffer(r["bits"], dtype=np.uint8))
+            .treeReduce(np.bitwise_or))
+    bits = np.asarray(bits, dtype=np.uint8)  # own the buffer
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(bits)
     return BloomFilter(bits, m, k, bc)
