@@ -28,10 +28,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cbor
 from ..functions.urlnorm import page_id_udf, source_filename_col
+from ..operators.ranked import global_row_number
 from ..urlutil import Url, page_id_of, source_filename
 
 
@@ -85,24 +87,28 @@ def build_processed(spark: SparkSession, pages: DataFrame) -> dict[str, DataFram
                              .select(F.col("target_pid").alias("pid")))
                 .unionByName(redirects.select(F.col("dst_pid").alias("pid")))
                 .distinct())
+    # scalable global ordinals (operators/ranked.py) — a bare
+    # Window.orderBy funnels the whole dictionary through ONE partition
+    # (the round-1 WindowExec warnings in bench_err.log); the sort keys
+    # are unique (distinct pids / hashes / texts) so the range-partitioned
+    # rank is byte-identical to the single-partition window
     host, path = _split_pid(F.col("pid"))
-    w_pages = W.orderBy("sort_host", "sort_path")
-    dict_pages = (dict_src
-                  .withColumn("sort_host", host)
-                  .withColumn("sort_path", path)
-                  .withColumn("page_idx",
-                              F.row_number().over(w_pages) - 1)
-                  .select("page_idx", F.col("pid").alias("page_id"))
-                  .localCheckpoint(eager=True))
+    dict_pages = (global_row_number(
+        dict_src.withColumn("sort_host", host).withColumn("sort_path", path),
+        ["sort_host", "sort_path"], "rn1")
+        .select((F.col("rn1") - 1).cast("int").alias("page_idx"),
+                F.col("pid").alias("page_id"))
+        .localCheckpoint(eager=True))
 
     # ---- buttons dictionary + file_exts (processed.rs:71-79,98-101) -------
     # reference ext choice is HashMap-iteration last-wins (nondeterministic);
     # canonical: max(file_ext) per hash
-    w_btn = W.orderBy("hash")
-    dict_buttons = (btn.groupBy("hash").agg(F.max("file_ext").alias("file_ext"))
-                    .withColumn("button_idx", F.row_number().over(w_btn) - 1)
-                    .select("button_idx", "hash", "file_ext")
-                    .localCheckpoint(eager=True))
+    dict_buttons = (global_row_number(
+        btn.groupBy("hash").agg(F.max("file_ext").alias("file_ext")),
+        ["hash"], "rn1")
+        .select((F.col("rn1") - 1).cast("int").alias("button_idx"),
+                "hash", "file_ext")
+        .localCheckpoint(eager=True))
 
     # ---- texts dictionary (alt ∪ title ∪ source_filename) -----------------
     texts_src = (btn.where(F.col("alt").isNotNull()).select(F.col("alt").alias("text"))
@@ -111,10 +117,9 @@ def build_processed(spark: SparkSession, pages: DataFrame) -> dict[str, DataFram
                  .unionByName(btn.where(F.col("filename").isNotNull())
                               .select(F.col("filename").alias("text")))
                  .distinct())
-    w_txt = W.orderBy("text")
-    dict_texts = (texts_src
-                  .withColumn("text_idx", F.row_number().over(w_txt) - 1)
-                  .select("text_idx", "text")
+    dict_texts = (global_row_number(texts_src, ["text"], "rn1")
+                  .select((F.col("rn1") - 1).cast("int").alias("text_idx"),
+                          "text")
                   .localCheckpoint(eager=True))
 
     # ---- one-hop redirect resolution of source + target pids --------------
@@ -235,54 +240,86 @@ def build_processed(spark: SparkSession, pages: DataFrame) -> dict[str, DataFram
     }
 
 
+def _iter_sorted(df: DataFrame, idx_col: str):
+    """Stream rows in ``idx_col`` order without a full driver collect —
+    ``toLocalIterator`` pulls one (range-)partition at a time, so driver
+    memory is bounded by a partition, not the table."""
+    return df.orderBy(idx_col).toLocalIterator(prefetchPartitions=True)
+
+
+def _fill_indexed(rows, idx_col: str, fields: list[str], n: int):
+    """Expand a sparse (idx → vectors) stream into dense per-field lists of
+    length ``n`` with [] at the gaps."""
+    out = {f: [[] for _ in range(n)] for f in fields}
+    for r in rows:
+        i = r[idx_col]
+        for f in fields:
+            out[f][i] = list(r[f])
+    return out
+
+
 def save_processed(spark: SparkSession, pages: DataFrame, out_dir: str) -> dict:
-    """S4 — assemble the reference's exact JSON shape and write 88x31.json +
-    stats.json atomically (.bak + rename, processed.rs:225-236); the
-    DataFrames are also written as parquet for analytical use."""
+    """S4 — assemble the reference's exact JSON shape and write 88x31.json,
+    88x31.cbor + stats.json atomically (.bak + rename, processed.rs:222-239);
+    the DataFrames are also written as parquet — the scale-safe artifact
+    (the single-file JSON/CBOR funnel is inherent to the reference's format;
+    assembly streams per-partition instead of collecting five full tables).
+    """
     t = build_processed(spark, pages)
     os.makedirs(out_dir, exist_ok=True)
     for name, df in t.items():
         df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
 
-    dict_pages = [r["page_id"] for r in
-                  t["pages"].orderBy("page_idx").collect()]
-    buttons_rows = t["buttons"].orderBy("button_idx").collect()
-    texts = [r["text"] for r in t["texts"].orderBy("text_idx").collect()]
-    pv = {r["page_idx"]: r for r in t["page_vectors"].collect()}
-    bv = {r["page_idx"]: r for r in t["backlink_vectors"].collect()}
-
+    dict_pages = [r["page_id"] for r in _iter_sorted(t["pages"], "page_idx")]
     n_pages = len(dict_pages)
+
+    buttons = []
+    button_file_exts = []
+    button_names = []
+    button_links = []
+    button_backlinks = []
+    for r in _iter_sorted(t["buttons"], "button_idx"):
+        buttons.append(r["hash"])
+        button_file_exts.append(r["file_ext"])
+        button_names.append(list(r["names"]))
+        button_links.append(list(r["links"]))
+        button_backlinks.append(list(r["backlinks"]))
+
+    pv = _fill_indexed(
+        _iter_sorted(t["page_vectors"], "page_idx"), "page_idx",
+        ["links", "link_buttons", "link_button_alts", "link_button_titles",
+         "link_button_filenames"], n_pages)
+    bv = _fill_indexed(
+        _iter_sorted(t["backlink_vectors"], "page_idx"), "page_idx",
+        ["backlinks", "backlink_buttons"], n_pages)
+
     data = {
         "pages": dict_pages,
-        "buttons": [r["hash"] for r in buttons_rows],
-        "texts": texts,
-        "button_file_exts": [r["file_ext"] for r in buttons_rows],
-        "button_names": [list(r["names"]) for r in buttons_rows],
-        "button_links": [list(r["links"]) for r in buttons_rows],
-        "button_backlinks": [list(r["backlinks"]) for r in buttons_rows],
-        "links": [list(pv[i]["links"]) if i in pv else []
-                  for i in range(n_pages)],
-        "link_buttons": [list(pv[i]["link_buttons"]) if i in pv else []
-                         for i in range(n_pages)],
-        "link_button_alts": [list(pv[i]["link_button_alts"]) if i in pv else []
-                             for i in range(n_pages)],
-        "link_button_titles": [list(pv[i]["link_button_titles"])
-                               if i in pv else [] for i in range(n_pages)],
-        "link_button_filenames": [list(pv[i]["link_button_filenames"])
-                                  if i in pv else [] for i in range(n_pages)],
-        "backlinks": [list(bv[i]["backlinks"]) if i in bv else []
-                      for i in range(n_pages)],
-        "backlink_buttons": [list(bv[i]["backlink_buttons"]) if i in bv else []
-                             for i in range(n_pages)],
+        "buttons": buttons,
+        "texts": [r["text"] for r in _iter_sorted(t["texts"], "text_idx")],
+        "button_file_exts": button_file_exts,
+        "button_names": button_names,
+        "button_links": button_links,
+        "button_backlinks": button_backlinks,
+        "links": pv["links"],
+        "link_buttons": pv["link_buttons"],
+        "link_button_alts": pv["link_button_alts"],
+        "link_button_titles": pv["link_button_titles"],
+        "link_button_filenames": pv["link_button_filenames"],
+        "backlinks": bv["backlinks"],
+        "backlink_buttons": bv["backlink_buttons"],
     }
-    tmp = os.path.join(out_dir, "88x31.json.bak")
-    with open(tmp, "w") as f:
-        json.dump(data, f)
-    os.replace(tmp, os.path.join(out_dir, "88x31.json"))
-    with open(os.path.join(out_dir, "stats.json.bak"), "w") as f:
-        json.dump({"buttons": len(data["buttons"])}, f)
-    os.replace(os.path.join(out_dir, "stats.json.bak"),
-               os.path.join(out_dir, "stats.json"))
+
+    def _atomic(name: str, payload: bytes) -> None:
+        tmp = os.path.join(out_dir, name + ".bak")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(out_dir, name))
+
+    _atomic("88x31.json", json.dumps(data).encode("utf-8"))
+    _atomic("88x31.cbor", cbor.dumps(data))
+    _atomic("stats.json",
+            json.dumps({"buttons": len(data["buttons"])}).encode("utf-8"))
     return data
 
 
