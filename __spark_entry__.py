@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_ivf_assign": similarity.ivf_assign,
+        "ann_ivf_bucket_stats": similarity.ivf_bucket_stats,
         "text_token_count": textstats.token_count,
         "text_quality": textstats.text_quality,
         "text_lang_id": textstats.lang_id,
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_SQL,
         "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_ivf_assign": similarity.IVF_ASSIGN_SQL,
+        "ann_ivf_bucket_stats": similarity.IVF_BUCKET_STATS_SQL,
         "text_token_count": textstats.TOKEN_COUNT_SQL,
         "text_quality": textstats.TEXT_QUALITY_SQL,
         "text_lang_id": textstats.lang_id_sql(),

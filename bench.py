@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_ivf_assign",
+    "ann_ivf_bucket_stats",
     "text_quality",
     "text_lang_id",
     "text_fingerprint",

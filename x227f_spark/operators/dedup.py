@@ -14,15 +14,20 @@ hashing (sha256 hex, JVM-side) keeps the DuckDB oracles value-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .textstats import tokens_col
 
-MINHASH_K = 8          # hash functions
-MINHASH_BANDS = 4      # bands of 2 rows → candidates at jaccard ≳ 0.5
+MINHASH_K = 64         # hash functions (production-shaped; was 8 in round 1)
+MINHASH_BANDS = 16     # bands of 4 rows → candidates at jaccard ≳ 0.55
 SHINGLE = 3            # words per shingle
 JACCARD_THRESHOLD = 0.5
+# Kirsch-Mitzenmacher double hashing: h_i = (h1 + i*h2) mod P with h1/h2
+# cut from ONE sha256 per shingle — 64 portable hash functions at the cost
+# of one digest (doing 64 independent sha256s per shingle was the round-1
+# minhash cost center)
+MINHASH_P = 1_000_000_007
 
 _HEX = "0123456789abcdef"
 
@@ -52,8 +57,13 @@ _SHINGLES_SQL = """
 
 
 def _doc_shingles(spark, sf_dir) -> DataFrame:
+    """Per-doc distinct shingles — persisted: re-referenced by candidate
+    generation AND verification within one query, and Spark's cache lookup
+    matches the identical analyzed plan across the jaccard/minhash
+    operators, so the shingle stage is computed once per session/sf."""
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+    return docs.select("doc_id",
+                       shingles_col(F.col("text")).alias("shingles")).persist()
 
 
 # ---------------------------------------------------------------------------
@@ -81,10 +91,34 @@ GROUP BY sha256(text)
 # ---------------------------------------------------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs with **prefix filtering** (AllPairs /
+    PPJoin candidate pruning).
+
+    Candidates are generated only from each document's *prefix* — its first
+    ``n - ceil(t*n) + 1`` shingles under a global rarest-first order
+    (document frequency asc, shingle asc). Prefix-filter lemma: two sets
+    with overlap ≥ α must collide within their ``len - α + 1`` prefixes of
+    any shared total order, and jaccard ≥ t implies overlap ≥ ceil(t·n) for
+    each side — so every qualifying pair still collides and the final
+    result is IDENTICAL to the naive shared-shingle join. High-df template
+    shingles sort to the ends of documents and drop out of candidate
+    generation entirely, which removes the round-1 quadratic fan-out
+    (44 s → the pair count collapses to the near-dup groups themselves).
+    """
     ds = _doc_shingles(spark, sf_dir)
-    exploded = ds.select("doc_id", F.explode("shingles").alias("s"))
-    pairs = (exploded.alias("a").join(
-        exploded.alias("b"),
+    exploded = ds.select("doc_id", F.size("shingles").alias("n"),
+                         F.explode("shingles").alias("s"))
+    dfreq = exploded.groupBy("s").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "s")
+    prefix_len = (F.col("n")
+                  - F.ceil(F.col("n") * F.lit(JACCARD_THRESHOLD)) + 1)
+    pref = (exploded.join(dfreq, "s")
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= prefix_len)
+            .select("doc_id", "s")
+            .persist())  # both sides of the candidate self-join
+    pairs = (pref.alias("a").join(
+        pref.alias("b"),
         (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
@@ -108,10 +142,18 @@ WITH t AS (
 ), ds AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t
 ), ex AS (
-  SELECT doc_id, unnest(shingles) AS s FROM ds
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM ds
+), dfreq AS (
+  SELECT s, count(*) AS df FROM ex GROUP BY s
+), pref AS (
+  SELECT doc_id, s FROM (
+    SELECT e.doc_id, e.s, e.n,
+           row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.s) AS rk
+    FROM ex e JOIN dfreq d USING (s))
+  WHERE rk <= n - CAST(ceil({JACCARD_THRESHOLD} * n) AS BIGINT) + 1
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
 )
 SELECT p.doc_a, p.doc_b,
        round(len(list_intersect(sa.shingles, sb.shingles))
@@ -132,14 +174,37 @@ WHERE round(len(list_intersect(sa.shingles, sb.shingles))
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _hex_int_col(h, start: int, width: int):
+    """Portable hex→int: nibble-by-nibble positional sum. The identical
+    strpos arithmetic runs in the DuckDB oracle, so the value (not just the
+    semantics) is engine-independent."""
+    v = F.lit(0).cast("long")
+    for j in range(width):
+        v = v * 16 + (F.instr(F.lit(_HEX),
+                              F.substring(h, start + j, 1)) - 1).cast("long")
+    return v
+
+
+def _hex_int_sql(col: str, start: int, width: int) -> str:
+    expr = "CAST(0 AS BIGINT)"
+    for j in range(width):
+        expr = (f"({expr} * 16 + "
+                f"(strpos('{_HEX}', substr({col}, {start + j}, 1)) - 1))")
+    return expr
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """signature_i(doc) = min over shingles of sha256(i ':' shingle)[:16] —
-    min over a portable total order (hex strings), k aggs in one groupBy."""
+    """signature_i(doc) = min over shingles of (h1 + i*h2) mod P, with
+    (h1, h2) cut from one sha256 per shingle (Kirsch-Mitzenmacher) — k
+    portable hash functions for one digest, k min-aggs in one groupBy."""
     ds = _doc_shingles(spark, sf_dir)
     ex = ds.select("doc_id", F.explode("shingles").alias("s"))
+    h = F.sha2(F.col("s"), 256)
+    ex = ex.select("doc_id", _hex_int_col(h, 1, 7).alias("h1"),
+                   _hex_int_col(h, 8, 7).alias("h2"))
     aggs = [
-        F.min(F.substring(F.sha2(F.concat(F.lit(f"{i}:"), F.col("s")), 256),
-                          1, 16)).alias(f"mh{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_P))
+        .alias(f"mh{i}")
         for i in range(MINHASH_K)
     ]
     return ex.groupBy("doc_id").agg(*aggs)
@@ -151,13 +216,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.sha2(F.concat_ws("|", *[
-                     F.col(f"mh{b * rows_per_band + j}")
+                     F.col(f"mh{b * rows_per_band + j}").cast("string")
                      for j in range(rows_per_band)]), 256).alias("bucket"))
         for b in range(MINHASH_BANDS)
     ])
     bucketed = sig.select("doc_id", F.explode(bands).alias("bb")) \
                   .select("doc_id", F.col("bb.band").alias("band"),
-                          F.col("bb.bucket").alias("bucket"))
+                          F.col("bb.bucket").alias("bucket")) \
+                  .persist()  # both sides of the bucket self-join
     return (bucketed.alias("a").join(
         bucketed.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -171,12 +237,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_sql() -> str:
     rows_per_band = MINHASH_K // MINHASH_BANDS
     mh_cols = ", ".join(
-        f"min(substr(sha256('{i}:' || s), 1, 16)) AS mh{i}"
+        f"min((h1 + {i} * h2) % {MINHASH_P}) AS mh{i}"
         for i in range(MINHASH_K))
     band_structs = ", ".join(
         "({b}, sha256({cat}))".format(
             b=b, cat=" || '|' || ".join(
-                f"mh{b * rows_per_band + j}" for j in range(rows_per_band)))
+                f"mh{b * rows_per_band + j}::VARCHAR"
+                for j in range(rows_per_band)))
         for b in range(MINHASH_BANDS))
     return f"""
 WITH t AS (
@@ -184,8 +251,11 @@ WITH t AS (
   FROM documents
 ), ds AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t
+), ex0 AS (
+  SELECT doc_id, sha256(unnest(shingles)) AS h FROM ds
 ), ex AS (
-  SELECT doc_id, unnest(shingles) AS s FROM ds
+  SELECT doc_id, {_hex_int_sql('h', 1, 7)} AS h1,
+         {_hex_int_sql('h', 8, 7)} AS h2 FROM ex0
 ), sig AS (
   SELECT doc_id, {mh_cols} FROM ex GROUP BY doc_id
 ), bucketed AS (
@@ -284,10 +354,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EMBEDDING_SQL = f"""
-WITH cent AS (
+WITH k AS (
+  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings
+), cent AS (
   SELECT vec_id AS centroid_id,
          list_transform(embedding, x -> x::DOUBLE) AS cv
-  FROM embeddings WHERE vec_id < 8
+  FROM embeddings WHERE vec_id < (SELECT k FROM k)
 ), v0 AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings

@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 N_QUERIES = 5
 TOP_K = 5
-N_CENTROIDS = 8
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,12 +81,26 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def n_centroids(n: int) -> int:
+    """K ≈ √n — the standard IVF sizing (bucket size ≈ probe cost ≈ √n, so
+    per-query work is O(√n) instead of O(n) and the per-bucket pair
+    generation in dedup_embedding_cosine is O(n·√n) instead of O(n²/K) with
+    a fixed small K). Round 1 pinned K=8, which degenerates to n²/8 at
+    scale (VERDICT r01)."""
+    import math
+
+    return max(1, math.isqrt(max(n - 1, 0)) + 1)  # ceil(sqrt(n))
+
+
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF bucketing: centroid = argmax rounded cosine (tie-break: lowest
-    centroid id). Centroids are the first N_CENTROIDS vectors — fixed and
-    engine-independent; a real pipeline would plug k-means output in here."""
+    centroid id). Centroids are the first ceil(√n) vectors — deterministic
+    and engine-independent (the synthetic embeddings are i.i.d., so a
+    vec_id prefix IS a uniform sample); a real pipeline would plug k-means
+    output in here. The oracle computes the same K via a scalar subquery."""
     emb = _emb(spark, sf_dir)
-    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+    k = n_centroids(emb.count())
+    cent = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
     v = emb.select("vec_id", F.col("embedding").alias("v"))
     cos = F.round(_dot(F.col("cv"), F.col("v"))
@@ -100,11 +113,22 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "centroid_id", "sim"))
 
 
-IVF_ASSIGN_SQL = f"""
-WITH cent AS (
+def ivf_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size distribution of the IVF assignment — the thing to watch
+    for hot buckets (a skewed bucket turns the per-bucket pair generation
+    quadratic again)."""
+    return (ivf_assign(spark, sf_dir)
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias("bucket_size")))
+
+
+IVF_ASSIGN_SQL = """
+WITH k AS (
+  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings
+), cent AS (
   SELECT vec_id AS centroid_id,
          list_transform(embedding, x -> x::DOUBLE) AS cv
-  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+  FROM embeddings WHERE vec_id < (SELECT k FROM k)
 ), v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings
@@ -120,4 +144,9 @@ WITH cent AS (
   FROM scored
 )
 SELECT vec_id, centroid_id, sim FROM ranked WHERE rn = 1
+"""
+
+IVF_BUCKET_STATS_SQL = f"""
+SELECT centroid_id, count(*) AS bucket_size
+FROM ({IVF_ASSIGN_SQL}) GROUP BY centroid_id
 """
