@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from x227f_spark.operators import dedup, multimodal, relational, similarity, textstats  # noqa: E402
+from x227f_spark.operators import contract, dedup, multimodal, relational, similarity, textstats  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
@@ -72,6 +72,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": textstats.fingerprint,
         "mm_decode_features": multimodal.decode_features,
         "mm_frame_sample": multimodal.frame_sample,
+        # UDF-shaped crawl operators (operators/contract.py). U1-U5, E1-E3,
+        # T5/P8, X2/X3 are pure-Python URL/byte logic with no faithful
+        # ANSI-SQL twin → rows-only driver check by design (SURVEY.md §5.6);
+        # J5/G7/O3/O4/T4 carry full value oracles.
+        "u1_page_id": contract.u1_page_id,
+        "u2_clean_page_url": contract.u2_clean_page_url,
+        "u3_image_url_clean": contract.u3_image_url_clean,
+        "u4_image_url_bypass": contract.u4_image_url_bypass,
+        "u5_url_join": contract.u5_url_join,
+        "e1_span_extract": contract.e1_span_extract,
+        "e2_anchor_match": contract.e2_anchor_match,
+        "e3_link_truncate": contract.e3_link_truncate,
+        "t5_candidate_rotation": contract.t5_candidate_rotation,
+        "p8_budget_pass": contract.p8_budget_pass,
+        "x2_png_reencode": contract.x2_png_reencode,
+        "x3_format_sniff": contract.x3_format_sniff,
+        "j5_dict_encode_join": contract.j5_dict_encode_join,
+        "g7_metrics": contract.g7_metrics,
+        "o3_except_truncate": contract.o3_except_truncate,
+        "o4_distinct_by_first": contract.o4_distinct_by_first,
+        "t4_top_scores": contract.t4_top_scores,
     }
 
 
@@ -110,4 +131,9 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": textstats.FINGERPRINT_SQL,
         "mm_decode_features": multimodal.DECODE_FEATURES_SQL,
         "mm_frame_sample": multimodal.FRAME_SAMPLE_SQL,
+        "j5_dict_encode_join": contract.J5_SQL,
+        "g7_metrics": contract.G7_SQL,
+        "o3_except_truncate": contract.O3_SQL,
+        "o4_distinct_by_first": contract.O4_SQL,
+        "t4_top_scores": contract.t4_top_scores_sql(),
     }

@@ -64,3 +64,36 @@ def test_reencode_propagates(spark, engine):
             expect = [(o, maps.get(h, h)) for (o, h) in btns]
             assert rows_after[pid] == expect, pid
         break
+
+
+def test_real_png_recompress_through_hook(spark):
+    """X2 non-identity branch with the REAL optimizer (imagebytes.
+    reencode_png): a media store of deliberately suboptimal PNGs shrinks
+    losslessly and hashes propagate."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(6):
+        data = imagebytes.make_png(88, 31, seed=i, level=1, gradient=True)
+        rows.append((imagebytes.hash_image(data), data, "png", 88, 31))
+    media = spark.createDataFrame(
+        rows, "media_ref string, bytes binary, file_ext string, "
+              "width int, height int")
+    pages = spark.createDataFrame(
+        [], "page_id string, url string, last_visited timestamp, failed int, "
+            "redirects_to string, internal_links array<string>, "
+            "buttons array<struct<ord:int,source:string,hash:string,"
+            "file_ext:string,target:string,last_visited:timestamp,"
+            "alt:string,title:string>>")
+    pages2, media2, mapping = fix_images(spark, pages, media,
+                                         imagebytes.reencode_png)
+    assert mapping.count() == 6  # every suboptimal png shrank
+    out = {r["media_ref"]: bytes(r["bytes"]) for r in media2.collect()}
+    for i in range(6):
+        src = imagebytes.make_png(88, 31, seed=i, level=1, gradient=True)
+        new = imagebytes.reencode_png(src)
+        assert new != src and len(new) < len(src)
+        ref = imagebytes.hash_image(new)
+        assert ref in out
+        assert imagebytes.png_pixels(out[ref]) == imagebytes.png_pixels(src)
+        assert imagebytes.validate_image_size(out[ref]) is True

@@ -188,8 +188,14 @@ def parse_data_uri(opaque: str) -> tuple[bytes, str | None] | None:
 # Deterministic synthesis of minimal valid images (corpus generator)
 # ---------------------------------------------------------------------------
 
-def make_png(width: int, height: int, seed: int = 0) -> bytes:
-    """Minimal truecolor PNG with a seed-dependent pixel payload."""
+def make_png(width: int, height: int, seed: int = 0, level: int = 9,
+             gradient: bool = False) -> bytes:
+    """Minimal truecolor PNG with a seed-dependent pixel payload.
+
+    ``level``/``gradient`` exist for the X2 re-encode tests: level<9 or a
+    y-gradient payload produce a deliberately suboptimal encoding that
+    reencode_png can actually shrink (the default output is already
+    level-9/constant-rows, i.e. near-optimal)."""
     def chunk(typ: bytes, payload: bytes) -> bytes:
         return (
             struct.pack(">I", len(payload))
@@ -199,14 +205,22 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    row = bytes([0]) + bytes(
-        ((seed * 31 + x * 7 + c) % 256) for x in range(width) for c in range(3)
-    )
-    raw = row * height
+    if gradient:
+        raw = b"".join(
+            bytes([0]) + bytes(
+                ((seed * 31 + x * 7 + y * 5 + c) % 256)
+                for x in range(width) for c in range(3))
+            for y in range(height))
+    else:
+        row = bytes([0]) + bytes(
+            ((seed * 31 + x * 7 + c) % 256)
+            for x in range(width) for c in range(3)
+        )
+        raw = row * height
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
 
@@ -248,3 +262,134 @@ MAKERS = {"png": make_png, "gif": make_gif, "bmp": make_bmp, "jpeg": make_jpeg}
 
 def make_image(fmt: str, width: int, height: int, seed: int = 0) -> bytes:
     return MAKERS[fmt](width, height, seed)
+
+
+# ---------------------------------------------------------------------------
+# X2 — lossless PNG recompression (image.rs:193-230 approximated)
+# ---------------------------------------------------------------------------
+#
+# The reference optimizes stored PNGs with oxipng (image.rs:195-206). No
+# imaging/compression libs exist in this container, so the engine's real
+# non-identity re-encode is a pure-Python equivalent of oxipng's cheapest
+# wins: de-filter the IDAT scanlines, re-filter every row with Up (filter 2
+# — the best single choice for the flat/banded art 88x31 buttons are), and
+# deflate at level 9; keep the rewrite only when it is strictly smaller.
+# Lossless by construction: only filters/compression change, pixels never do
+# (png_pixels(original) == png_pixels(reencoded), tested).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples per pixel (8-bit)
+
+
+def png_chunks(data: bytes) -> list[tuple[bytes, bytes]]:
+    """(type, payload) chunks of a PNG byte string (no CRC verification —
+    the crawl already hashed the bytes; bad lengths raise ValueError)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a png")
+    out = []
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        if len(payload) != ln:
+            raise ValueError("truncated chunk")
+        out.append((typ, payload))
+        pos += 12 + ln
+    return out
+
+
+def png_idat(data: bytes) -> bytes:
+    """Concatenated IDAT payloads (one zlib stream per the spec)."""
+    return b"".join(p for t, p in png_chunks(data) if t == b"IDAT")
+
+
+def _unfilter_rows(raw: bytes, width: int, height: int, bpp: int) -> list[bytes]:
+    stride = 1 + width * bpp
+    if len(raw) != stride * height:
+        raise ValueError("raw size mismatch")
+    rows: list[bytes] = []
+    prev = bytes(stride - 1)
+    for r in range(height):
+        ft = raw[r * stride]
+        line = bytearray(raw[r * stride + 1:(r + 1) * stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, len(line)):
+                line[i] = (line[i] + line[i - bpp]) & 255
+        elif ft == 2:  # Up
+            for i in range(len(line)):
+                line[i] = (line[i] + prev[i]) & 255
+        elif ft == 3:  # Average
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 255
+        elif ft != 0:
+            raise ValueError(f"unknown filter {ft}")
+        prev = bytes(line)
+        rows.append(prev)
+    return rows
+
+
+def png_pixels(data: bytes) -> bytes:
+    """De-filtered scanline bytes — the lossless-invariant of reencode_png."""
+    chunks = png_chunks(data)
+    ihdr = next(p for t, p in chunks if t == b"IHDR")
+    width, height, depth, color = struct.unpack(">IIBB", ihdr[:10])
+    if depth != 8 or color not in _BPP or ihdr[12] != 0:
+        raise ValueError("unsupported png layout")
+    raw = zlib.decompress(png_idat(data))
+    return b"".join(_unfilter_rows(raw, width, height, _BPP[color]))
+
+
+def _filter_up(rows: list[bytes]) -> bytes:
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for line in rows:
+        out.append(2)
+        out += bytes((line[i] - prev[i]) & 255 for i in range(len(line)))
+        prev = line
+    return bytes(out)
+
+
+def reencode_png(data: bytes, _fmt: str | None = None) -> bytes:
+    """Lossless PNG shrink; returns the original bytes when no candidate is
+    strictly smaller (or the layout is one we don't re-filter — interlaced,
+    sub-byte depths, malformed). Signature matches the fiximages
+    ``re_encode(data, fmt)`` hook."""
+    try:
+        chunks = png_chunks(data)
+        ihdr = next(p for t, p in chunks if t == b"IHDR")
+        width, height, depth, color = struct.unpack(">IIBB", ihdr[:10])
+        raw = zlib.decompress(png_idat(data))
+        candidates = [zlib.compress(raw, 9)]
+        if depth == 8 and color in _BPP and ihdr[12] == 0:
+            rows = _unfilter_rows(raw, width, height, _BPP[color])
+            candidates.append(zlib.compress(_filter_up(rows), 9))
+    except (ValueError, zlib.error, StopIteration):
+        return data
+    best = min(candidates, key=len)
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    out = bytearray(_PNG_SIG)
+    idat_written = False
+    for typ, payload in chunks:
+        if typ == b"IDAT":
+            if not idat_written:
+                out += chunk(b"IDAT", best)
+                idat_written = True
+            continue
+        out += chunk(typ, payload)
+    new = bytes(out)
+    return new if len(new) < len(data) else data
