@@ -149,6 +149,18 @@ def main():
         "cpus": cpus,
         "crawl": crawl,
     }
+    # surface the latest N-vs-4N scaling evidence (tools/bench_scaling.py —
+    # BENCH/BASELINE.md has the full protocol) in the one-line bench record
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        out["scaling"] = {
+            "levels": sorted(int(k) for k in sc.get("levels", {})),
+            "efficiency_steady": sc.get("scaling_efficiency_steady"),
+            "efficiency_full": sc.get("scaling_efficiency_full"),
+        }
     print(json.dumps(out))
 
 

@@ -55,6 +55,11 @@ for i in range(reps):
     n_pages = fetched.count(); n_btns = btns.count()
     times.append(round(time.monotonic() - t0, 2))
     eng._drop_round_persists()
+    # ContextCleaner is weak-ref driven: without a GC between reps, shuffle
+    # files and freed block metadata pile up and later reps measure the
+    # litter, not the operator (reps were degrading 160->225s at 4 cores)
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1)
     print(f"  [{{cores}}c] rep {{i}}: {{times[-1]}}s pages={{n_pages}} buttons={{n_btns}}", file=sys.stderr)
 print(json.dumps(times))
 """
@@ -91,9 +96,8 @@ def main():
         if r.returncode != 0:
             raise RuntimeError(r.stderr[-1500:])
         times = json.loads(r.stdout.strip().splitlines()[-1])
-        post = times[1:] if len(times) > 1 else times  # skip warm-up rep
-        best = min(post)
-        med = sorted(post)[len(post) // 2]
+        best = min(times)  # reps are iid after the inter-rep GC
+        med = sorted(times)[len(times) // 2]
         out["levels"][str(cores)] = {"times": times, "best": best,
                                      "median": med,
                                      "urls_per_sec": round(args.n / best, 1)}

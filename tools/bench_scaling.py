@@ -42,7 +42,8 @@ for _ in range(rounds):
     t0 = time.monotonic()
     m = eng.run_round()
     per_round.append({{"sec": round(time.monotonic() - t0, 2),
-                      "fetched": m["fetched"] + m["failed"]}})
+                      "fetched": m["fetched"] + m["failed"],
+                      "timing": m.get("timing", {{}})}})
     print(f"  [{{cores}}c] round {{m['round']}}: {{per_round[-1]}}", file=sys.stderr)
 shutil.rmtree(state, ignore_errors=True)
 print(json.dumps(per_round))
@@ -97,11 +98,17 @@ def main():
         wall = sum(r["sec"] for r in rows)
         s_fetched = sum(r["fetched"] for r in steady)
         s_wall = sum(r["sec"] for r in steady)
+        stages = {}
+        for key in ("rank", "sched", "fetch", "plan", "write"):
+            vals = [r["timing"].get(key, 0.0) for r in steady if r.get("timing")]
+            if vals:
+                stages[key] = round(sum(vals) / len(vals), 2)
         results[cores] = {
             "rounds": rows,
             "urls_per_sec_full": round(fetched / wall, 2),
             "urls_per_sec_steady": round(s_fetched / s_wall, 2) if s_wall else 0,
             "fetched": fetched,
+            "steady_stage_avg_sec": stages,
         }
         print(f"local[{cores}]: full={results[cores]['urls_per_sec_full']} "
               f"steady={results[cores]['urls_per_sec_steady']} urls/s")
@@ -165,6 +172,25 @@ Per-round seconds:
 - local[{lo}]: {[r['sec'] for r in li['rounds']]}
 - local[{hi}]: {[r['sec'] for r in hiv['rounds']]}
 """
+    slo = li.get("steady_stage_avg_sec") or {}
+    shi = hiv.get("steady_stage_avg_sec") or {}
+    if slo and shi:
+        md += """
+## Amdahl decomposition (steady-state stage averages, sec/round)
+
+| stage | local[%d] | local[%d] | stage speedup |
+|---|---|---|---|
+""" % (lo, hi)
+        for key in ("rank", "sched", "fetch", "plan", "write"):
+            a, b = slo.get(key), shi.get(key)
+            if a and b:
+                md += f"| {key} | {a} | {b} | {round(a / b, 2)}x |\n"
+        md += (
+            "\n`fetch`/`write`/`rank` are the distributed data plane (what a"
+            " real cluster\nreplicates per executor); `sched`/`plan` are the"
+            " per-round control-plane floor\n(driver latency + small-job"
+            " barriers) that amortizes as rounds grow toward the\n10^10"
+            "-frontier design point (millions of URLs per round).\n")
     fs_path = os.path.join(REPO, "BENCH", "fetch_stage_scaling.json")
     if os.path.exists(fs_path):
         with open(fs_path) as f:

@@ -170,6 +170,9 @@ class EngineConfig:
     # 1/salt_target_partitions get split across ceil(share*partitions) salts.
     shuffle_partitions: int = 32
     bloom_fpp: float = 0.01
+    # force a JVM GC every K committed rounds so the ContextCleaner reclaims
+    # shuffle files / checkpoint blocks promptly (see rounds._finish_round)
+    gc_every_rounds: int = 4
     robots: tuple["RobotsRule", ...] = ()
 
     def _robots_rule(self, host: str) -> "RobotsRule | None":

@@ -160,6 +160,17 @@ def make_extract_udf(cfg: EngineConfig):
 # S6/S7 + F10 + U8 — candidate validation UDF
 # ---------------------------------------------------------------------------
 
+@pandas_udf(BinaryType())
+def data_uri_bytes_udf(urls: pd.Series) -> pd.Series:
+    """S7 — decoded payload of a data: URI (media-sink byte source; runs
+    only over the per-round distinct kept hashes)."""
+    def _d(u):
+        r = imagebytes.parse_data_uri(u) if u else None
+        return r[0] if r else None
+
+    return urls.map(_d)
+
+
 @pandas_udf(StringType())
 def bypass_url_udf(image_url: pd.Series) -> pd.Series:
     """U4 — the URL actually requested (image.rs:290)."""
@@ -177,7 +188,6 @@ def bypass_url_udf(image_url: pd.Series) -> pd.Series:
     StructField("hash", StringType()),
     StructField("file_ext", StringType()),
     StructField("source", StringType()),
-    StructField("bytes", BinaryType()),
 ]))
 def validate_image_udf(image_url: pd.Series, joined: pd.Series,
                        f_found: pd.Series, f_status: pd.Series,
@@ -188,14 +198,20 @@ def validate_image_udf(image_url: pd.Series, joined: pd.Series,
 
     disposition: 'valid' | 'not_button' | 'error' (error → stale-cache
     fallback upstream, image.rs:108-125).
+
+    Deliberately does NOT return the image bytes: a page's buttons repeat
+    across the whole crawl (millions of candidate rows, a few thousand
+    distinct images), so shipping bytes per candidate row back through
+    Arrow and the round's checkpoints is almost-pure duplicate traffic.
+    The media sink re-reads bytes once per *distinct kept hash* from the
+    resolved-images table / data-URI decode (plans/rounds.py media path).
     """
     from ..extract_logic import download_88x31_image
 
     def _nn(v):  # "not null" — nullable Arrow columns surface as NaN/None
         return v is not None and not (isinstance(v, float) and pd.isna(v))
 
-    out = {"disposition": [], "hash": [], "file_ext": [], "source": [],
-           "bytes": []}
+    out = {"disposition": [], "hash": [], "file_ext": [], "source": []}
     for i in range(len(image_url)):
         url = image_url.iloc[i]
         if url is not None and url.startswith("data:"):
@@ -235,19 +251,18 @@ def validate_image_udf(image_url: pd.Series, joined: pd.Series,
         if dl.get("error"):
             out["disposition"].append("error")
             out["hash"].append(None); out["file_ext"].append(None)
-            out["source"].append(None); out["bytes"].append(None)
+            out["source"].append(None)
             continue
         data, fmt = dl.get("bytes"), dl.get("format")
         if not data or fmt is None or \
                 imagebytes.validate_image_size(data, fmt) is not True:
             out["disposition"].append("not_button")
             out["hash"].append(None); out["file_ext"].append(None)
-            out["source"].append(None); out["bytes"].append(None)
+            out["source"].append(None)
             continue
         out["disposition"].append("valid")
         out["hash"].append(imagebytes.hash_image(data))
         out["file_ext"].append(imagebytes.format_extension(fmt))
-        out["bytes"].append(bytes(data))
         if url.startswith("data:"):
             out["source"].append(None)  # data: URIs have no source URL
         elif bool(was_transformed.iloc[i]):

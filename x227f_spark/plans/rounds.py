@@ -85,17 +85,25 @@ class CrawlEngine:
         http = spark.read.parquet(f"{corpus_dir}/http.parquet")
         docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
         # static for the life of the engine and probed twice per round (S5 +
-        # P6 retry) — persist once; on a real deployment this is one table
+        # P6 retry) — persist once, HASH-PARTITIONED ON THE JOIN KEY so the
+        # per-round page joins reuse the cached layout and only the small
+        # (fetch-cap-sized) side is exchanged. Without this every round
+        # re-shuffles the whole corpus — O(corpus) per round instead of
+        # O(batch), the exact anti-pattern the 10^10 design forbids. On a
+        # real deployment this is the bucketed source table / HTTP fetch.
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.corpus = (
             http.join(docs, http["url"] == docs["doc_id"], "left")
             .select("url", "status", "content_type", "redirect_to",
                     "body_len", "spans")
+            .repartition(n_part, "url")
             .persist()
         )
         self.corpus.count()
         images = spark.read.parquet(f"{corpus_dir}/images.parquet")
         self.resolved_images = (
-            fetch_ops.resolve_image_redirects(images).localCheckpoint(eager=True)
+            fetch_ops.resolve_image_redirects(images)
+            .repartition(n_part, "url").localCheckpoint(eager=True)
         )
         self._extract_udf = fetch_ops.make_extract_udf(self.cfg)
         cfg = self.cfg
@@ -384,6 +392,16 @@ class CrawlEngine:
                 (len(df._jdf.queryExecution().toString())
                  for df in staged.values()), default=0)
         self._drop_round_persists()
+        # periodic JVM GC: the ContextCleaner only reclaims shuffle files /
+        # freed block metadata after a collection, and a long-lived driver
+        # under steady allocation may not GC for many rounds — scratch-dir
+        # growth then bleeds into round latency (observed: reps degrading
+        # 160→225 s before this). One forced GC every few rounds bounds it.
+        if self.store.round % self.cfg.gc_every_rounds == 0:
+            try:
+                self.spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
     def _drop_round_persists(self) -> None:
         for df in self._round_persists:
@@ -421,25 +439,34 @@ class CrawlEngine:
             F.col("redirect_to").alias("rt2"),
             F.col("body_len").alias("bl2"), F.col("spans").alias("spans2"))
 
-        f1 = selected.join(corp1, selected["url"] == corp1["c_url1"], "left")
-        f1 = f1.withColumn(
-            "p6", fetch_ops.p6_target_udf(F.col("url"), F.col("status1"),
-                                          F.col("rt1")))
-        f2 = f1.join(corp2, f1["p6"] == corp2["c_url2"], "left")
-        has_p6 = F.col("p6").isNotNull()
-        f2 = f2.select(
+        f1 = self._persist(
+            selected.join(corp1, selected["url"] == corp1["c_url1"], "left")
+            .withColumn("p6", fetch_ops.p6_target_udf(
+                F.col("url"), F.col("status1"), F.col("rt1"))))
+        # P6 retry join, null-skew safe: `p6` is null for almost every row
+        # (only same-PageId 3xx pages retry), and a plain left join would
+        # hash-shuffle ALL null-key rows — with their full span payloads —
+        # into one partition (a single-task straggler that caps scaling).
+        # Rows without a retry target bypass the join entirely.
+        base_cols = [
             "queue_pos", "url", "page_id", "host", "crawl_pos",
             F.coalesce("p6", "url").alias("res_url"),
-            F.when(has_p6, F.col("c_url2").isNotNull())
-             .otherwise(F.col("c_url1").isNotNull()).alias("found"),
-            F.when(has_p6, F.col("status2")).otherwise(F.col("status1"))
-             .alias("status"),
-            F.when(has_p6, F.col("ct2")).otherwise(F.col("ct1")).alias("ct"),
-            F.when(has_p6, F.col("rt2")).otherwise(F.col("rt1")).alias("rt"),
-            F.when(has_p6, F.col("bl2")).otherwise(F.col("bl1")).alias("bl"),
-            F.when(has_p6, F.col("spans2")).otherwise(F.col("spans1"))
-             .alias("spans"),
-        )
+        ]
+        no_p6 = f1.where(F.col("p6").isNull()).select(
+            *base_cols,
+            F.col("c_url1").isNotNull().alias("found"),
+            F.col("status1").alias("status"), F.col("ct1").alias("ct"),
+            F.col("rt1").alias("rt"), F.col("bl1").alias("bl"),
+            F.col("spans1").alias("spans"))
+        with_p6 = (f1.where(F.col("p6").isNotNull())
+                   .join(corp2, F.col("p6") == corp2["c_url2"], "left")
+                   .select(*base_cols,
+                           F.col("c_url2").isNotNull().alias("found"),
+                           F.col("status2").alias("status"),
+                           F.col("ct2").alias("ct"), F.col("rt2").alias("rt"),
+                           F.col("bl2").alias("bl"),
+                           F.col("spans2").alias("spans")))
+        f2 = no_p6.unionByName(with_p6)
         f2 = f2.withColumn(
             "redirect_target",
             fetch_ops.redirect_target_udf(F.col("res_url"), F.col("status"),
@@ -510,33 +537,45 @@ class CrawlEngine:
             F.col("f_declared_len"), F.col("f_final_url"),
             F.col("was_transformed"))
         cand = cand.withColumn("v", v).select(
-            "crawl_pos", "ord", "image_url", "href", "alt", "title",
-            "cache_fresh", "c_hash", "c_ext", "c_last",
+            "crawl_pos", "ord", "image_url", "requesting", "href", "alt",
+            "title", "cache_fresh", "c_hash", "c_ext", "c_last",
             F.col("v.disposition").alias("disposition"),
             F.col("v.hash").alias("hash"),
             F.col("v.file_ext").alias("file_ext"),
             F.col("v.source").alias("source"),
-            F.col("v.bytes").alias("img_bytes"),
             F.lit(now).alias("now"))
         # cut, not persist: cand's plan is the whole candidate/validation
         # case-when tree and btns feeds button_cache, media and the page
         # re-assembly — uncut they re-embed that tree at every reference
         cand = self._cut(cand)
         btns = self._cut(fetch_ops.budget_pass(
-            cand.drop("img_bytes"), n_part))
-        # S8 — content-addressed media sink: bytes of freshly fetched valid
-        # buttons that were actually kept (write-iff-absent happens at commit)
-        media_new = (btns.select("crawl_pos", "ord", "hash", "file_ext")
-                     .join(cand.where((F.col("disposition") == "valid")
-                                      & ~F.col("cache_fresh")
-                                      & F.col("img_bytes").isNotNull())
-                           .select("crawl_pos", "ord", "img_bytes"),
-                           ["crawl_pos", "ord"])
-                     .select(F.col("hash").alias("media_ref"),
-                             F.col("img_bytes").alias("bytes"),
+            cand.drop("requesting"), n_part))
+        # S8 — content-addressed media sink. Candidate rows carry no image
+        # bytes (millions of rows repeat a few thousand distinct buttons, so
+        # per-row bytes are near-pure duplicate Arrow/shuffle traffic);
+        # bytes are re-read once per DISTINCT kept hash — URL-sourced from
+        # the resolved-images table (a broadcast inner join of the tiny
+        # kept set), data: URIs re-decoded inline. Write-iff-absent happens
+        # at commit via the media anti-join.
+        kept_fresh = (btns.select("crawl_pos", "ord", "hash", "file_ext")
+                      .join(cand.where((F.col("disposition") == "valid")
+                                       & ~F.col("cache_fresh"))
+                            .select("crawl_pos", "ord", "image_url",
+                                    "requesting"),
+                            ["crawl_pos", "ord"])
+                      .dropDuplicates(["hash"]))
+        is_data = F.col("image_url").startswith("data:")
+        res_bytes = self.resolved_images.select(
+            F.col("url").alias("requesting"), F.col("f_bytes").alias("bytes"))
+        from_url = (F.broadcast(kept_fresh.where(~is_data))
+                    .join(res_bytes, "requesting"))
+        from_data = kept_fresh.where(is_data).withColumn(
+            "bytes", fetch_ops.data_uri_bytes_udf(F.col("image_url")))
+        media_new = (from_url.unionByName(from_data)
+                     .where(F.col("bytes").isNotNull())
+                     .select(F.col("hash").alias("media_ref"), "bytes",
                              "file_ext", F.lit(88).alias("width"),
-                             F.lit(31).alias("height"))
-                     .dropDuplicates(["media_ref"]))
+                             F.lit(31).alias("height")))
 
         buttons_by_page = btns.groupBy("crawl_pos").agg(
             F.sort_array(F.collect_list(F.struct(

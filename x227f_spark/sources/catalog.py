@@ -126,7 +126,10 @@ class StateStore:
             self._spread(name, df).write.mode("overwrite").parquet(
                 self._table_path(name, v))
 
-        with ThreadPoolExecutor(max_workers=min(len(jobs), 6) or 1) as ex:
+        # one thread per staged table: the writes are independent Spark jobs
+        # and the scheduler interleaves their tasks, so a narrow pool just
+        # serializes the small tables behind the big ones
+        with ThreadPoolExecutor(max_workers=len(jobs) or 1) as ex:
             list(ex.map(_write, jobs))
 
         if late_append:
