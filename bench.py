@@ -161,6 +161,17 @@ def main():
             "efficiency_steady": sc.get("scaling_efficiency_steady"),
             "efficiency_full": sc.get("scaling_efficiency_full"),
         }
+    fs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "fetch_stage_scaling.json")
+    if os.path.exists(fs_path):
+        with open(fs_path) as f:
+            fs = json.load(f)
+        out["fetch_stage_scaling"] = {
+            "levels": sorted(int(k) for k in fs.get("levels", {})),
+            "urls_per_sec": {k: v.get("urls_per_sec")
+                             for k, v in fs.get("levels", {}).items()},
+            "efficiency": fs.get("fetch_stage_scaling_efficiency"),
+        }
     print(json.dumps(out))
 
 
