@@ -723,12 +723,20 @@ class CrawlEngine:
         ranked_new, n_new = global_row_number(
             seen_first, ["crawl_pos", "link_class", "link_ord"],
             "assign_rn", persist=self._persist, return_count=True)
-        seen_new = self._cut(
-            ranked_new
-            .withColumn("node_id", F.lit(max_id) + F.col("assign_rn"))
-            .select("page_id", "node_id", F.lit(r).alias("first_seen_round"))
-        )
-        seen_all = self._persist(seen.unionByName(seen_new))
+        if n_new == 0:
+            # recrawl-heavy steady state: no new pages most rounds — skip
+            # the checkpoint job and the empty seen delta entirely (the
+            # count is already known from the global-rank prefix sum)
+            seen_new = self.spark.createDataFrame([], SCHEMAS["seen"])
+            seen_all = seen
+        else:
+            seen_new = self._cut(
+                ranked_new
+                .withColumn("node_id", F.lit(max_id) + F.col("assign_rn"))
+                .select("page_id", "node_id",
+                        F.lit(r).alias("first_seen_round"))
+            )
+            seen_all = self._persist(seen.unionByName(seen_new))
         self._seen_count += n_new
 
         # ---- edges: replace-on-recrawl (canonical rebuild semantics) --------
@@ -791,7 +799,9 @@ class CrawlEngine:
             "queue": queue_after,
             "button_cache": cache2,
         }
-        appended = {"seen": seen_new, "trace": trace_new}
+        appended = {"trace": trace_new}
+        if n_new > 0:
+            appended["seen"] = seen_new  # no empty delta dirs
         return staged, appended, (fetched_n, failed_n)
 
     # ------------------------------------------------------------------
