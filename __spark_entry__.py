@@ -66,6 +66,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_ivf_assign": similarity.ivf_assign,
         "ann_ivf_bucket_stats": similarity.ivf_bucket_stats,
+        # production ANN (sampled k-means + two-level coarse quantizer +
+        # multi-probe + hot-bucket salting): k-means output is not
+        # SQL-expressible — rows-only driver entries; recall/bounds are
+        # pytest-verified (tests/test_ann.py)
+        "ann_ivf_assign_prod": similarity.ivf_assign_production,
+        "ann_multiprobe_topk": similarity.ann_query_multiprobe,
+        "ann_buckets_salted": similarity.ivf_buckets_salted,
         "text_token_count": textstats.token_count,
         "text_quality": textstats.text_quality,
         "text_lang_id": textstats.lang_id,

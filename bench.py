@@ -59,6 +59,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         n = df.count()
         times[name] = round(time.monotonic() - t0, 3)
         print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    # intra-suite cache reuse is intended (jaccard/minhash share shingles);
+    # release the scope once the suite is done so the session holds no blocks
+    from x227f_spark.operators.qcache import release_caches
+    release_caches()
     return times
 
 

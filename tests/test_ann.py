@@ -1,0 +1,79 @@
+"""Production ANN path (similarity.py): sampled k-means + two-level coarse
+quantizer + multi-probe + hot-bucket salting.
+
+The oracle-exact vec_id-prefix IVF remains the contract query; these tests
+pin the production path's guarantees instead: determinism, recall against
+the brute-force baseline, assignment quality of the hierarchical pruner,
+and the salting bound acting on the bucket-stats watchdog.
+"""
+
+import math
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from x227f_spark.operators import similarity as S
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/embeddings.parquet"),
+    reason="testdata embeddings not present")
+
+
+def test_assign_production_deterministic_and_total(spark):
+    a1 = S.ivf_assign_production(spark, SF_DIR).collect()
+    a2 = S.ivf_assign_production(spark, SF_DIR).collect()
+    assert sorted((r["vec_id"], r["centroid_id"], r["sim"]) for r in a1) \
+        == sorted((r["vec_id"], r["centroid_id"], r["sim"]) for r in a2)
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(a1) == n  # every vector assigned exactly once
+
+
+def test_hierarchical_pruning_matches_flat_argmax(spark):
+    """The two-level quantizer is an approximation of the flat argmax over
+    all K centroids — on the synthetic embeddings it must agree for the
+    overwhelming majority of vectors (probing 2 of ~sqrt(K) supers)."""
+    flat = {r["vec_id"]: r["centroid_id"]
+            for r in S.ivf_assign_production(
+                spark, SF_DIR, hierarchical=False).collect()}
+    hier = {r["vec_id"]: r["centroid_id"]
+            for r in S.ivf_assign_production(
+                spark, SF_DIR, hierarchical=True).collect()}
+    agree = sum(1 for k in flat if hier[k] == flat[k])
+    # i.i.d. random embeddings are the WORST case for coarse quantization
+    # (no cluster structure to exploit); real corpora sit far higher
+    assert agree / len(flat) >= 0.85, f"agreement {agree}/{len(flat)}"
+
+
+def test_multiprobe_recall_vs_bruteforce(spark):
+    """Recall against the exact baseline. The synthetic embeddings are
+    i.i.d. uniform — structureless, the pathological case for IVF (true
+    neighbors do not concentrate in nearby buckets) — so the pinned bar
+    is recall ≥ 0.6 at probe=8 of K≈√n buckets plus the property that
+    actually matters: the probe knob buys recall monotonically."""
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(spark, SF_DIR).collect()}
+
+    def recall(p):
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in S.ann_query_multiprobe(spark, SF_DIR,
+                                                  probe=p).collect()}
+        return len(exact & approx) / len(exact)
+
+    r3, r8 = recall(3), recall(8)
+    assert r8 >= 0.6, f"recall@{S.TOP_K} probe=8: {r8}"
+    assert r8 > r3, f"probe knob must buy recall: {r3} -> {r8}"
+
+
+def test_salted_buckets_bounded(spark):
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    cap = max(1, int(S.HOT_BUCKET_FACTOR * math.sqrt(n)))
+    b = S.ivf_buckets_salted(spark, SF_DIR)
+    sizes = b.groupBy("bucket").agg(F.count("*").alias("sz")).collect()
+    # expected sub-bucket size is size/splits <= cap; hashing jitters the
+    # split, so allow 2x headroom — the point is no bucket stays O(n)
+    assert max(r["sz"] for r in sizes) <= 2 * cap
+    assert sum(r["sz"] for r in sizes) == n  # nothing lost by salting

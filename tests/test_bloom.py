@@ -43,6 +43,42 @@ def test_false_positive_rate_bounded(spark):
     assert hits / N_PROBE < 0.03  # ~3x headroom over the 1% target
 
 
+def test_sharded_bloom_parity_at_1m(spark):
+    """S=4 sharded build: no false negatives, bounded FPR, each broadcast
+    ~1/S of the single-filter bitmap (the 10^10-scale memory bound)."""
+    seen = _seen(spark)
+    single = build_bloom(seen, F.col("page_id"), expected=N_SEEN, fpp=0.01)
+    sharded = build_bloom(seen, F.col("page_id"), expected=N_SEEN, fpp=0.01,
+                          n_shards=4)
+    probe = seen.limit(N_PROBE)
+    misses = (sharded.might_contain(probe, F.col("page_id"))
+              .where(~F.col("_bloom_hit")).count())
+    assert misses == 0
+    absent = spark.range(N_PROBE).select(
+        F.concat(F.lit("absent.example/q"), F.col("id").cast("string"))
+        .alias("page_id"))
+    hits = (sharded.might_contain(absent, F.col("page_id"))
+            .where(F.col("_bloom_hit")).count())
+    assert hits / N_PROBE < 0.03
+    # per-broadcast bitmap is sized for expected/S keys
+    shard_bytes = max(len(bc.value) for bc in sharded._shard_bcs.values())
+    assert shard_bytes < len(single.bits) / 2
+    assert len(sharded._shard_bcs) == 4
+    # exact anti-join equivalence through the sharded filter
+    targets = spark.range(50_000).select(
+        F.when(F.col("id") % 3 == 0,
+               F.concat(F.lit("host"), (F.col("id") % 5000).cast("string"),
+                        F.lit(".example/p"), F.col("id").cast("string")))
+        .otherwise(F.concat(F.lit("new.example/n"),
+                            F.col("id").cast("string"))).alias("page_id"),
+        F.col("id").alias("crawl_pos"))
+    with_sharded = anti_join_new(targets, "page_id", seen, "page_id", sharded)
+    without = anti_join_new(targets, "page_id", seen, "page_id", None)
+    a = {(r["page_id"], r["crawl_pos"]) for r in with_sharded.collect()}
+    b = {(r["page_id"], r["crawl_pos"]) for r in without.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_anti_join_parity_with_and_without_bloom(spark):
     seen = _seen(spark)
     bloom = build_bloom(seen, F.col("page_id"), expected=N_SEEN, fpp=0.01)

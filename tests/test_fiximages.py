@@ -66,6 +66,43 @@ def test_reencode_propagates(spark, engine):
         break
 
 
+def test_real_gif_reencode_through_hook(spark, engine):
+    """X2 GIF branch with the REAL rewriter (imagebytes.reencode_gif via
+    the format-dispatched reencode_image hook): crawled GIF buttons get
+    byte-changed (forced NETSCAPE infinite loop), frames/dimensions are
+    preserved, and the new hashes propagate to media + pages."""
+    pages, media = engine.table("pages"), engine.table("media")
+    gif_refs = {r["media_ref"]: bytes(r["bytes"])
+                for r in media.collect()
+                if imagebytes.guess_format(bytes(r["bytes"])) == "gif"}
+    assert gif_refs, "corpus must contain gif buttons"
+
+    pages2, media2, mapping = fix_images(spark, pages, media,
+                                         imagebytes.reencode_image)
+    maps = {r["old_hash"]: (r["new_hash"], r["new_file_ext"])
+            for r in mapping.collect()}
+    # every gif changed bytes (loop ext added); hash moved
+    out = {r["media_ref"]: bytes(r["bytes"]) for r in media2.collect()}
+    for old, data in gif_refs.items():
+        new = imagebytes.reencode_gif(data)
+        assert new != data
+        assert old in maps and maps[old][0] == imagebytes.hash_image(new)
+        assert maps[old][1] == "gif"
+        assert out[maps[old][0]] == new
+        assert imagebytes.image_dimensions(new, "gif") == (88, 31)
+        assert b"NETSCAPE2.0\x03\x01\x00\x00" in new  # infinite repeat
+    # referencing pages rewired to the new hashes, order preserved
+    rows_before = {r["page_id"]: [(b["ord"], b["hash"])
+                                  for b in (r["buttons"] or [])]
+                   for r in pages.collect()}
+    rows_after = {r["page_id"]: [(b["ord"], b["hash"])
+                                 for b in (r["buttons"] or [])]
+                  for r in pages2.collect()}
+    for pid, btns in rows_before.items():
+        expect = [(o, maps.get(h, (h,))[0]) for (o, h) in btns]
+        assert rows_after[pid] == expect, pid
+
+
 def test_real_png_recompress_through_hook(spark):
     """X2 non-identity branch with the REAL optimizer (imagebytes.
     reencode_png): a media store of deliberately suboptimal PNGs shrinks

@@ -121,6 +121,14 @@ def main():
         else:
             print(f"PASS {name}: rows={len(s_rows)} ({dt:.1f}s)")
 
+    # drop the dedup/dictionary scoped caches and verify nothing leaked —
+    # a long-lived session must end the suite with zero cached RDDs
+    from x227f_spark.operators.qcache import release_caches
+    release_caches()
+    leftover = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    if leftover:
+        print(f"WARN: {len(leftover)} cached RDDs left after release")
+
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
     sys.exit(1 if failures else 0)
 

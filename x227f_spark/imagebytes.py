@@ -393,3 +393,83 @@ def reencode_png(data: bytes, _fmt: str | None = None) -> bytes:
         out += chunk(typ, payload)
     new = bytes(out)
     return new if len(new) < len(data) else data
+
+
+# ---------------------------------------------------------------------------
+# X2 — GIF re-encode (image.rs:232-247: decode frames, re-emit with forced
+# infinite repeat). Pure-Python GIF87a/89a *block* rewriter: frames' LZW
+# data is copied verbatim (pixels provably identical), comments / plain-text
+# / application extensions are dropped, and one NETSCAPE2.0 infinite-loop
+# extension is emitted — the byte-level contract of the reference's
+# GifEncoder with Repeat::Infinite.
+# ---------------------------------------------------------------------------
+
+_NETSCAPE_INF = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+
+
+def _gif_subblocks(data: bytes, i: int) -> int:
+    """Skip a sub-block chain starting at ``i``; returns the index after
+    the terminating 0-byte."""
+    while True:
+        if i >= len(data):
+            raise ValueError("truncated sub-blocks")
+        n = data[i]
+        i += 1 + n
+        if n == 0:
+            return i
+
+
+def reencode_gif(data: bytes, _fmt: str | None = None) -> bytes:
+    """Frame-preserving GIF rewrite. Returns the original bytes on any
+    parse problem (mirrors the reference's leave-untouched-on-error,
+    main.rs:448)."""
+    try:
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            return data
+        packed = data[10]
+        i = 13
+        if packed & 0x80:  # global color table
+            i += 3 * (2 << (packed & 0x07))
+        head = b"GIF89a" + data[6:i]  # the loop ext needs an 89a header
+        body = bytearray()
+        pending_gce = b""
+        while i < len(data):
+            b0 = data[i]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension
+                label = data[i + 1]
+                j = _gif_subblocks(data, i + 2)
+                if label == 0xF9:  # graphic control: keep, attach to frame
+                    pending_gce = data[i:j]
+                # 0xFF application / 0xFE comment / 0x01 plain text: drop
+                i = j
+                continue
+            if b0 == 0x2C:  # image descriptor
+                j = i + 10
+                ipacked = data[i + 9]
+                if ipacked & 0x80:  # local color table
+                    j += 3 * (2 << (ipacked & 0x07))
+                j += 1  # LZW minimum code size
+                j = _gif_subblocks(data, j)
+                body += pending_gce + data[i:j]
+                pending_gce = b""
+                i = j
+                continue
+            raise ValueError(f"unknown block 0x{b0:02x}")
+        new = bytes(head) + _NETSCAPE_INF + bytes(body) + b"\x3b"
+    except (ValueError, IndexError, struct.error):
+        return data
+    return new
+
+
+def reencode_image(data: bytes, fmt: str | None = None) -> bytes:
+    """Format-dispatched X2 re-encode hook (image.rs:193-267): PNG →
+    lossless recompress, GIF → frame-preserving infinite-loop rewrite,
+    JPEG/WebP/BMP → passthrough (not losslessly optimizable)."""
+    fmt = fmt or guess_format(data)
+    if fmt == "png":
+        return reencode_png(data)
+    if fmt == "gif":
+        return reencode_gif(data)
+    return data

@@ -327,10 +327,13 @@ def x2_png_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j5_dict_encode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 — dictionary-encode a string column and join ids back
     (processed.rs:98-101 shape)."""
+    from .ranked import global_row_number
+
     docs = _docs(spark, sf_dir)
-    w = W.orderBy("source")
-    dic = (docs.select("source").distinct()
-           .withColumn("source_id", F.row_number().over(w) - 1))
+    dic = (global_row_number(docs.select("source").distinct(), ["source"],
+                             "j5_rn")
+           .select("source", (F.col("j5_rn") - 1).cast("int")
+                   .alias("source_id")))
     return (docs.join(dic, "source")
             .select("doc_id", "source", "source_id"))
 

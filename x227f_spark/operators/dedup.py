@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from .qcache import scoped_persist
 from .textstats import tokens_col
 
 MINHASH_K = 64         # hash functions (production-shaped; was 8 in round 1)
@@ -62,8 +63,8 @@ def _doc_shingles(spark, sf_dir) -> DataFrame:
     matches the identical analyzed plan across the jaccard/minhash
     operators, so the shingle stage is computed once per session/sf."""
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id",
-                       shingles_col(F.col("text")).alias("shingles")).persist()
+    return scoped_persist(docs.select(
+        "doc_id", shingles_col(F.col("text")).alias("shingles")))
 
 
 # ---------------------------------------------------------------------------
@@ -115,8 +116,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = (exploded.join(dfreq, "s")
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= prefix_len)
-            .select("doc_id", "s")
-            .persist())  # both sides of the candidate self-join
+            .select("doc_id", "s"))
+    pref = scoped_persist(pref)  # both sides of the candidate self-join
     pairs = (pref.alias("a").join(
         pref.alias("b"),
         (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -220,10 +221,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      for j in range(rows_per_band)]), 256).alias("bucket"))
         for b in range(MINHASH_BANDS)
     ])
-    bucketed = sig.select("doc_id", F.explode(bands).alias("bb")) \
-                  .select("doc_id", F.col("bb.band").alias("band"),
-                          F.col("bb.bucket").alias("bucket")) \
-                  .persist()  # both sides of the bucket self-join
+    bucketed = scoped_persist(  # both sides of the bucket self-join
+        sig.select("doc_id", F.explode(bands).alias("bb"))
+           .select("doc_id", F.col("bb.band").alias("band"),
+                   F.col("bb.bucket").alias("bucket")))
     return (bucketed.alias("a").join(
         bucketed.alias("b"),
         (F.col("a.band") == F.col("b.band"))

@@ -1,0 +1,34 @@
+"""Scoped caching for driver-facing operator queries.
+
+The dedup family persists shingle/prefix intermediates that are
+re-referenced both within one query (self-join sides) and across queries
+(jaccard and minhash share the shingle stage via Spark's cache-plan
+matching). A bare ``.persist()`` with no owner leaks those blocks for the
+life of the session; this registry keeps the reuse but gives the harness
+a single ``release_caches()`` to drop every registered block once a suite
+(check_oracles, bench) finishes — a long-lived session ends with zero
+cached RDDs instead of one shingle table per sf_dir ever touched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_SCOPED: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _SCOPED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every block registered since the last release."""
+    global _SCOPED
+    for df in _SCOPED:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to free
+    _SCOPED = []

@@ -77,7 +77,11 @@ def global_row_number(
     local = (ranged.withColumn(_PID, F.spark_partition_id())
              .withColumn(_LRN, F.row_number().over(w)))
     # cache: the counts job below and the caller's downstream both read it
-    local = persist(local) if persist is not None else local.persist()
+    if persist is not None:
+        local = persist(local)
+    else:
+        from .qcache import scoped_persist
+        local = scoped_persist(local)  # released by the harness's scope
 
     # partition sizes → driver prefix sum (num_partitions rows, metadata)
     sizes = {r[_PID]: r["cnt"] for r in

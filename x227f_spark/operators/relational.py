@@ -216,10 +216,16 @@ LEFT JOIN red r3 ON r3.src = r2.dst
 # ---------------------------------------------------------------------------
 
 def g1_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary build via the scalable global ordinal (ranked.py) — a
+    bare ``Window.orderBy`` row_number funnels the distinct set through
+    one partition, the exact anti-pattern the engine's own dictionary
+    builds (plans/processed.py) eliminated."""
+    from .ranked import global_row_number
+
     docs = _t(spark, sf_dir, "documents")
-    w = W.orderBy("lang")
-    return (docs.select("lang").distinct()
-            .withColumn("lang_id", F.row_number().over(w) - 1))
+    return (global_row_number(docs.select("lang").distinct(), ["lang"],
+                              "g1_rn")
+            .select("lang", (F.col("g1_rn") - 1).cast("int").alias("lang_id")))
 
 
 G1_SQL = """

@@ -150,3 +150,211 @@ IVF_BUCKET_STATS_SQL = f"""
 SELECT centroid_id, count(*) AS bucket_size
 FROM ({IVF_ASSIGN_SQL}) GROUP BY centroid_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Production ANN path (VERDICT r02 item 3): sampled k-means centroids,
+# assignment SUBLINEAR IN K via a two-level coarse quantizer inside a
+# vectorized Arrow UDF (no n x K pair materialization), multi-probe queries,
+# and hot-bucket salting acting on the bucket-stats watchdog.
+#
+# The deterministic vec_id-prefix variant above stays as the oracle-exact
+# contract query; this is the shape a real deployment runs (FAISS-style:
+# train on a sample, broadcast the codebook, argmax per batch).
+# ---------------------------------------------------------------------------
+
+ANN_SEED = 0x227F
+HOT_BUCKET_FACTOR = 4.0  # split buckets larger than c * sqrt(n)
+
+
+def _sample_matrix(emb: DataFrame, cap: int = 4096):
+    """Deterministic training sample: the `cap` vectors with the smallest
+    xxhash64(vec_id, seed) — a uniform, order-stable sample collected to
+    the driver (k-means training on a bounded sample is the standard IVF
+    recipe; the full table never leaves the executors)."""
+    import numpy as np
+
+    rows = (emb.select("vec_id", "embedding",
+                       F.xxhash64(F.col("vec_id"), F.lit(ANN_SEED))
+                       .alias("h"))
+            .orderBy("h", "vec_id").limit(cap).collect())
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in rows])
+
+
+def train_centroids(emb: DataFrame, k: int, iters: int = 5,
+                    sample_cap: int = 4096):
+    """Lloyd's k-means over a deterministic sample (numpy, float64, fixed
+    iteration count — bit-reproducible). Initial centroids: the first k
+    sample rows (the sample itself is hash-shuffled, so this is a uniform
+    init). Empty clusters keep their previous centroid."""
+    import numpy as np
+
+    x = _sample_matrix(emb, sample_cap)
+    k = min(k, len(x))
+    cent = x[:k].copy()
+    for _ in range(iters):
+        # cosine k-means: assign by normalized dot product
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cent[j] = x[mask].mean(axis=0)
+    return cent
+
+
+def _two_level_index(cent):
+    """Group the K centroids under ceil(sqrt(K)) super-centroids (k-means
+    over the codebook) so assignment probes S supers + their members
+    instead of all K: per-vector cost O(sqrt(K)) — sublinear in K."""
+    import numpy as np
+
+    k = len(cent)
+    s = max(1, int(np.ceil(np.sqrt(k))))
+    sup = cent[:s].copy()
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    for _ in range(5):
+        sn = sup / np.linalg.norm(sup, axis=1, keepdims=True)
+        a = np.argmax(cn @ sn.T, axis=1)
+        for j in range(s):
+            m = a == j
+            if m.any():
+                sup[j] = cent[m].mean(axis=0)
+    sn = sup / np.linalg.norm(sup, axis=1, keepdims=True)
+    members = np.argmax(cn @ sn.T, axis=1)  # centroid -> super
+    return sup, members
+
+
+def ivf_assign_production(spark: SparkSession, sf_dir: str,
+                          k: int | None = None, probe_supers: int = 3,
+                          hierarchical: bool = True) -> DataFrame:
+    """Assign every vector to its (approximately) nearest k-means centroid.
+
+    No n x K crossJoin: the codebook + two-level index are broadcast and a
+    mapInPandas numpy matmul computes the argmax per Arrow batch — the
+    pair table never exists. With `hierarchical`, each batch scores the
+    S = ceil(sqrt(K)) super-centroids, keeps the top `probe_supers` supers
+    per vector, and only scores member centroids of those supers:
+    per-vector cost O(probe * sqrt(K)) instead of O(K).
+    """
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    k = k or n_centroids(n)
+    cent = train_centroids(emb, k)
+    sup, members = _two_level_index(cent)
+    sc = spark.sparkContext
+    bc = sc.broadcast((cent, sup, members, bool(hierarchical),
+                       int(probe_supers)))
+
+    def assign_batches(it):
+        import pandas as pd
+
+        cent_, sup_, members_, hier, p = bc.value
+        cn = cent_ / np.linalg.norm(cent_, axis=1, keepdims=True)
+        sn = sup_ / np.linalg.norm(sup_, axis=1, keepdims=True)
+        for pdf in it:
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            if not hier or len(cent_) <= 4:
+                sims = xn @ cn.T
+                best = np.argmax(sims, axis=1)
+                bsim = sims[np.arange(len(x)), best]
+            else:
+                ssims = xn @ sn.T                       # n x S
+                top = np.argsort(-ssims, axis=1)[:, :p]  # n x p supers
+                best = np.zeros(len(x), dtype=np.int64)
+                bsim = np.full(len(x), -2.0)
+                for j in range(p):
+                    for s_id in np.unique(top[:, j]):
+                        rows = np.nonzero(top[:, j] == s_id)[0]
+                        cand = np.nonzero(members_ == s_id)[0]
+                        if len(cand) == 0:
+                            continue
+                        sims = xn[rows] @ cn[cand].T
+                        am = np.argmax(sims, axis=1)
+                        sm = sims[np.arange(len(rows)), am]
+                        upd = sm > bsim[rows]
+                        best[rows[upd]] = cand[am[upd]]
+                        bsim[rows[upd]] = sm[upd]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "centroid_id": best.astype("int64"),
+                "sim": np.round(bsim, 6),
+            })
+
+    return emb.mapInPandas(
+        assign_batches, "vec_id long, centroid_id long, sim double")
+
+
+def ivf_buckets_salted(spark: SparkSession, sf_dir: str,
+                       k: int | None = None) -> DataFrame:
+    """Hot-bucket mitigation acting on the bucket-stats watchdog: any
+    bucket larger than HOT_BUCKET_FACTOR * sqrt(n) is split into
+    ceil(size / cap) salted sub-buckets by pmod(xxhash64(vec_id), splits).
+    Downstream per-bucket work (pair generation, probe scans) is bounded
+    by the cap regardless of how skewed the k-means partition is."""
+    import math
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    cap = max(1, int(HOT_BUCKET_FACTOR * math.sqrt(n)))
+    assigned = ivf_assign_production(spark, sf_dir, k=k)
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("bucket_size"))
+    splits = F.greatest(F.lit(1), F.ceil(F.col("bucket_size") / cap))
+    return (assigned.join(F.broadcast(sizes.select(
+                "centroid_id", splits.alias("n_splits"))), "centroid_id")
+            .select("vec_id", "centroid_id",
+                    F.concat_ws("#", F.col("centroid_id"),
+                                F.pmod(F.xxhash64("vec_id"),
+                                       F.col("n_splits")))
+                    .alias("bucket"),
+                    "n_splits"))
+
+
+def ann_query_multiprobe(spark: SparkSession, sf_dir: str,
+                         probe: int = 3) -> DataFrame:
+    """Query path: each query scores the K centroids (K = sqrt(n), driver-
+    side numpy for the handful of queries), probes its top-`probe` buckets,
+    and ranks only the vectors assigned there — per-query cost
+    O(K + probe * n/K) = O(sqrt(n)) instead of O(n)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    k = n_centroids(n)
+    cent = train_centroids(emb, k)
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    qrows = (emb.where(F.col("vec_id") < N_QUERIES)
+             .select("vec_id", "embedding").collect())
+    probes = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        sims = (qv / np.linalg.norm(qv)) @ cn.T
+        for c in np.argsort(-sims)[:probe]:
+            probes.append((int(r["vec_id"]), int(c)))
+    probe_df = spark.createDataFrame(probes, "query_id long, centroid_id long")
+
+    assigned = ivf_assign_production(spark, sf_dir, k=k)
+    cand = (assigned.join(F.broadcast(probe_df), "centroid_id")
+            .where(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id")))
+    q = emb.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("q"))
+    v = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("v"))
+    cos = F.round(_dot(F.col("q"), F.col("v"))
+                  / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                          F.asc("neighbor_id"))
+    return (cand.join(F.broadcast(q), "query_id").join(v, "neighbor_id")
+            .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "rank", "cos_sim"))

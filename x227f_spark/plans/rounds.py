@@ -39,7 +39,7 @@ from ..model import VIRTUAL_EPOCH
 from ..operators import fetch as fetch_ops
 from ..operators.bloom import anti_join_new, build_bloom
 from ..operators.pagerank import pagerank_iterations
-from ..sources.catalog import StateStore
+from ..sources.catalog import MergeDelta, StateStore
 from ..functions.urlnorm import (
     hosts_list_contains_col,
     page_id_udf,
@@ -70,6 +70,20 @@ SCHEMAS = {
 }
 
 APPEND_TABLES = {"seen", "trace", "metrics", "media"}
+
+
+def _obs_get(obs: Observation, defaults: dict) -> dict:
+    """Observation.get, tolerant of Catalyst pruning the CollectMetrics
+    node: when the observed subtree constant-folds to an empty relation
+    (e.g. a filter provably false this round), PropagateEmptyRelation
+    deletes the observe node and the finished query reports no metrics —
+    which *proves* zero rows flowed, so the caller's zero-valued defaults
+    are exact, not a guess."""
+    from py4j.protocol import Py4JJavaError
+    try:
+        return obs.get
+    except Py4JJavaError:
+        return defaults
 
 
 class CrawlEngine:
@@ -133,6 +147,19 @@ class CrawlEngine:
         else:
             self._seen_count = 0
             self._edges_maybe_nonempty = False
+        # queue length / max queue_pos ride the checkpoint stats too — the
+        # per-round queue.agg() job they replace was pure control-plane floor
+        if "queue_len" in st:
+            self._queue_len = int(st["queue_len"])
+            self._max_pos = int(st["max_pos"])
+        elif self.store.exists("queue"):
+            qrow = self.table("queue").agg(
+                F.count("*").alias("n"), F.max("queue_pos").alias("mx")).first()
+            self._queue_len = qrow["n"]
+            self._max_pos = qrow["mx"] if qrow["mx"] is not None else -1
+        else:
+            self._queue_len = 0
+            self._max_pos = -1
 
 
     def _persist(self, df: DataFrame) -> DataFrame:
@@ -202,22 +229,23 @@ class CrawlEngine:
         u = Url.parse(sp)
         host = u.host if u else ""
         path = u.path if u else ""
-        staged: dict[str, DataFrame] = {}
         if not (self.cfg.effective_banned(host)
                 or self.cfg.disallowed(host, path)):
             pid = page_id_of(sp)
-            staged["queue"] = self.spark.createDataFrame(
+            queue0 = self.spark.createDataFrame(
                 [(0, sp, pid, host)], SCHEMAS["queue"])
             seen_new = self.spark.createDataFrame(
                 [(pid, 0, 0)], SCHEMAS["seen"])
             self._seen_count = 1
+            self._queue_len, self._max_pos = 1, 0
         else:
-            staged["queue"] = self.spark.createDataFrame([], SCHEMAS["queue"])
+            queue0 = self.spark.createDataFrame([], SCHEMAS["queue"])
             seen_new = self.spark.createDataFrame([], SCHEMAS["seen"])
             self._seen_count = 0
-        self.store.commit(0, staged, {"seen": seen_new},
-                          stats={"seen_count": self._seen_count,
-                                 "edges_nonempty": False})
+            self._queue_len, self._max_pos = 0, -1
+        self._edges_maybe_nonempty = False
+        self.store.commit(0, {}, {"seen": seen_new}, stats=self._stats(),
+                          merge={"queue": MergeDelta(queue0, ["queue_pos"])})
 
     # -- one round ------------------------------------------------------------
     def run_round(self) -> dict:
@@ -257,10 +285,10 @@ class CrawlEngine:
         _mark("rank")
 
         # ---- refresh_queue: T1/T2/F11/F12 (data.rs:210-292) ---------------
-        qrow = queue.agg(F.count("*").alias("n"),
-                         F.max("queue_pos").alias("mx")).first()
-        queue_len = qrow["n"]
-        max_pos = qrow["mx"] if qrow["mx"] is not None else -1
+        # queue length / max position are driver-side scalars maintained via
+        # Observations on the staged queue-delta write (no per-round agg job)
+        queue_len = self._queue_len
+        max_pos = self._max_pos
         pg = pages.select(
             "page_id", F.col("url").alias("pg_url"),
             F.col("last_visited").alias("pg_lv"), F.col("failed").alias("pg_failed"))
@@ -303,10 +331,10 @@ class CrawlEngine:
         )
         queue2 = queue.unionByName(new_entries)
         # consume scheduled unvisited urls (data.rs:262-268), even when the
-        # subsequent add was dropped as banned
-        discovered = discovered.join(
-            adding.where(F.col("pg_url").isNull()).select("node_id"),
-            "node_id", "left_anti")
+        # subsequent add was dropped as banned — a tombstone key set on the
+        # discovered merge table (the committed `discovered` view stays the
+        # pre-consumption one for this round's candidate join above)
+        consumed = adding.where(F.col("pg_url").isNull()).select("node_id")
 
         # ---- schedule: T3 + P1 (data.rs:418-439, ratelimiter.rs) ----------
         w_host = W.partitionBy("host").orderBy("queue_pos")
@@ -328,59 +356,78 @@ class CrawlEngine:
             (F.col("gr") - 1).cast("long").alias("crawl_pos"),
         ))
         n_selected = min(sel_total, cfg.fetch_cap)
-        queue_after = queue2.join(selected.select("queue_pos"),
-                                  "queue_pos", "left_anti")
+        # queue merge delta (O(batch)): tombstones for the scheduled rows,
+        # upserts for the new entries minus those scheduled this same round.
+        # The Observation maintains the driver-side queue length / max
+        # position — it sits on new_entries, upstream of the anti-join, so
+        # it sees every admitted entry when the delta write executes.
+        q_obs = Observation()
+        new_entries_obs = new_entries.observe(
+            q_obs, F.count(F.lit(1)).alias("n"),
+            F.max("queue_pos").alias("mx"))
+        queue_delta = MergeDelta(
+            new_entries_obs.join(selected.select("queue_pos"),
+                                 "queue_pos", "left_anti"),
+            ["queue_pos"], dels=selected.select("queue_pos"))
         _mark("sched")
 
+        def _apply_queue_obs():
+            qn = _obs_get(q_obs, {"n": 0, "mx": None})
+            self._queue_len += int(qn["n"]) - n_selected
+            if qn["mx"] is not None:
+                self._max_pos = max(self._max_pos, int(qn["mx"]))
+
         if n_selected == 0:
-            q_obs = Observation()
-            staged = {"discovered": discovered, "scores": scores,
-                      "queue": queue_after.observe(
-                          q_obs, F.count(F.lit(1)).alias("n"))}
+            staged = {"scores": scores}
+            merges = {"queue": queue_delta,
+                      "discovered": MergeDelta(
+                          self.spark.createDataFrame(
+                              [], SCHEMAS["discovered"]),
+                          ["node_id"], dels=consumed)}
 
             def _late_empty():
+                _apply_queue_obs()
                 dur = int((time.monotonic() - t0) * 1000)
                 return {"metrics": self.spark.createDataFrame(
-                    [(r, 0, 0, 0, q_obs.get["n"], self._seen_count, dur)],
+                    [(r, 0, 0, 0, self._queue_len, self._seen_count, dur)],
                     SCHEMAS["metrics"])}
 
-            self.store.commit(r, staged, {}, stats=self._stats(),
-                              late_append=_late_empty)
+            self.store.commit(r, staged, {}, stats=self._stats,
+                              late_append=_late_empty, merge=merges)
             _mark("write")
-            self._finish_round(staged)
+            self._finish_round({**staged,
+                                **{k: m.rows for k, m in merges.items()}})
             self.last_timing = tm
             return {"round": r, "admitted": 0, "fetched": 0, "failed": 0,
                     "timing": tm}
 
         # ---- fetch + extract (operators/fetch.py) --------------------------
-        fetched, errors, btns, media_new = self._fetch(selected, cache, now)
+        fetched, errors, btns, media_new, fetched_n = \
+            self._fetch(selected, cache, now)
         _mark("fetch")
 
         # ---- commit ---------------------------------------------------------
-        staged, appended, counts = self._commit_plan(
-            r, now, selected, n_selected, fetched, errors, btns,
-            pages, seen, discovered, edges, scores, queue_after, cache)
+        staged, appended, merges, counts = self._commit_plan(
+            r, now, selected, n_selected, fetched, fetched_n, errors, btns,
+            pages, seen, consumed, scores)
+        merges["queue"] = queue_delta
         media = self.table("media")
         appended["media"] = media_new.join(
             media.select("media_ref"), "media_ref", "left_anti")
         _mark("plan")
-        # queue size piggybacks on the staged write via an Observation, and
-        # the metrics row is derived *inside* the commit (late_append) — no
-        # separate count job / double materialization of queue_after.
-        q_obs = Observation()
-        staged["queue"] = staged["queue"].observe(
-            q_obs, F.count(F.lit(1)).alias("n"))
 
         def _late():
+            _apply_queue_obs()
             dur = int((time.monotonic() - t0) * 1000)
             return {"metrics": self.spark.createDataFrame(
-                [(r, n_selected, counts[0], counts[1], q_obs.get["n"],
+                [(r, n_selected, counts[0], counts[1], self._queue_len,
                   self._seen_count, dur)], SCHEMAS["metrics"])}
 
-        self.store.commit(r, staged, appended, stats=self._stats(),
-                          late_append=_late)
+        self.store.commit(r, staged, appended, stats=self._stats,
+                          late_append=_late, merge=merges)
         _mark("write")
-        self._finish_round(staged)
+        self._finish_round({**staged,
+                            **{k: m.rows for k, m in merges.items()}})
         self.last_timing = tm
         return {"round": r, "admitted": n_selected, "fetched": counts[0],
                 "failed": counts[1], "timing": tm}
@@ -421,7 +468,9 @@ class CrawlEngine:
 
     def _stats(self) -> dict:
         return {"seen_count": self._seen_count,
-                "edges_nonempty": self._edges_maybe_nonempty}
+                "edges_nonempty": self._edges_maybe_nonempty,
+                "queue_len": self._queue_len,
+                "max_pos": self._max_pos}
 
     # ------------------------------------------------------------------
     def _fetch(self, selected: DataFrame, cache: DataFrame, now):
@@ -598,21 +647,30 @@ class CrawlEngine:
                     "alt:string,title:string>>")).alias("buttons"),
             )
         )
-        # lineage cut: `fetched` is re-referenced by pages2 (union arms),
+        # lineage cut: `fetched` is re-referenced by the pages delta arms,
         # the three link classes, fetched_src_ids and the trace — a cached
         # but uncut plan re-embeds the whole fetch/extract subtree at every
         # reference (the round-1 120 MB plan strings). _cut unpersists the
-        # blocks at round end.
-        fetched = self._cut(fetched)
+        # blocks at round end. The fetched count rides an Observation on the
+        # same eager materialization — no separate count job.
+        f_obs = Observation()
+        fetched = self._cut(fetched.observe(
+            f_obs, F.count(F.lit(1)).alias("n")))
+        fetched_n = int(_obs_get(f_obs, {"n": 0})["n"])
         # errors is a cheap filter over the persisted f2 — no extra cache
-        return fetched, errors, btns, media_new
+        return fetched, errors, btns, media_new, fetched_n
 
     # ------------------------------------------------------------------
-    def _commit_plan(self, r, now, selected, n_selected, fetched, errors,
-                     btns, pages, seen, discovered, edges, scores,
-                     queue_after, cache):
+    def _commit_plan(self, r, now, selected, n_selected, fetched, fetched_n,
+                     errors, btns, pages, seen, consumed, scores):
+        """Stage the round's state changes as O(batch) merge deltas (plus
+        the wholesale ``scores`` cow write and the monotone appends). The
+        reference mutates these maps in place under a mutex
+        (data.rs:298-326); the snapshot-store equivalent is one upsert/
+        tombstone delta per table — NOT a full-table anti-join+union
+        rebuild, which would make every round O(total state) written."""
         cfg = self.cfg
-        spark = self.spark
+        merges: dict[str, MergeDelta] = {}
 
         # ---- button cache upsert (data.rs:302-315) -------------------------
         new_cache = (
@@ -623,8 +681,7 @@ class CrawlEngine:
                     F.col("s.file_ext").alias("file_ext"),
                     F.col("s.last_visited").alias("last_visited"))
         )
-        cache2 = cache.join(new_cache.select("url"), "url", "left_anti") \
-                      .unionByName(new_cache)
+        merges["button_cache"] = MergeDelta(new_cache, ["url"])
 
         # ---- pages merge (data.rs:298-326 + main.rs:271-287) ----------------
         page_new = fetched.select(
@@ -661,9 +718,13 @@ class CrawlEngine:
                            ).alias("buttons")))
         touched = page_new.select("page_id").unionByName(
             err_new.select("page_id"))
-        pages2 = (pages.join(touched, "page_id", "left_anti")
-                  .unionByName(upd).unionByName(ins)
-                  .unionByName(upd_err).unionByName(ins_err))
+        # pages merge delta: the four upsert arms only (update/insert for
+        # fetched and failed pages); untouched pages are never rewritten.
+        # `upd`/`upd_err` inner-join `pages` on the batch's keys — a
+        # broadcast probe of the base scan, not a shuffle of it.
+        merges["pages"] = MergeDelta(
+            upd.unionByName(ins).unionByName(upd_err).unionByName(ins_err),
+            ["page_id"])
 
         # ---- E4: link derivation (data.rs:354-416) --------------------------
         src_host = url_host(F.col("res_url"))
@@ -751,13 +812,18 @@ class CrawlEngine:
         fetched_src_ids = fetched.join(id_map.withColumnRenamed("_pid", "page_id"),
                                        "page_id").select(
             F.col("_nid").alias("src"))
-        edges2 = (edges.join(fetched_src_ids, "src", "left_anti")
-                  .unionByName(links_ids.select("src", "dst", "weight")))
+        # edges merge delta: replace-on-recrawl = tombstone every fetched
+        # page's src group, upsert this round's derived links (links' srcs
+        # are a subset of fetched_src_ids, so the tombstone set covers both
+        # "page now has different links" and "page now has none")
+        merges["edges"] = MergeDelta(
+            links_ids.select("src", "dst", "weight"), ["src"],
+            dels=fetched_src_ids)
 
         # ---- discovered upsert (end-of-round pages view) ---------------------
         # end-of-round page ids = previous pages ∪ every touched id (all
         # touched ids end up in pages: update/insert/stub), cheaper than
-        # re-reading pages2
+        # re-reading the merged pages view
         eor = pages.select("page_id").unionByName(touched).distinct()
         disc_cand = (links_ids
                      .join(eor.withColumnRenamed("page_id", "target_pid"),
@@ -768,9 +834,12 @@ class CrawlEngine:
                     .where(F.col("rn") == 1)
                     .select(F.col("dst").alias("node_id"),
                             F.col("target").alias("url")))
-        discovered2 = (discovered.join(disc_new.select("node_id"),
-                                       "node_id", "left_anti")
-                       .unionByName(disc_new))
+        # discovered merge delta: tombstone the consumed (scheduled) nodes,
+        # upsert this round's last-writer-wins discoveries. A node both
+        # consumed and re-discovered keeps the new row (upserts win over
+        # tombstones in the same delta — replace-key-group semantics).
+        merges["discovered"] = MergeDelta(disc_new, ["node_id"],
+                                          dels=consumed)
 
         # ---- trace (golden-trace shape, FIXTURES.md §5) ----------------------
         admitted_tr = selected.select(
@@ -786,23 +855,15 @@ class CrawlEngine:
             "page_id", "host", F.lit("failed").alias("action"))
         trace_new = admitted_tr.unionByName(fetched_tr).unionByName(failed_tr)
 
-        fetched_n = fetched.count()
         failed_n = n_selected - fetched_n  # every selected row is page|error
         if fetched_n > 0:
             self._edges_maybe_nonempty = True
 
-        staged = {
-            "pages": pages2,
-            "discovered": discovered2,
-            "edges": edges2,
-            "scores": scores,
-            "queue": queue_after,
-            "button_cache": cache2,
-        }
+        staged = {"scores": scores}
         appended = {"trace": trace_new}
         if n_new > 0:
             appended["seen"] = seen_new  # no empty delta dirs
-        return staged, appended, (fetched_n, failed_n)
+        return staged, appended, merges, (fetched_n, failed_n)
 
     # ------------------------------------------------------------------
     def run(self, rounds: int) -> list[dict]:

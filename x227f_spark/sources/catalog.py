@@ -6,14 +6,36 @@ processed.rs:225-230): every crawl round commits *all* changed tables in one
 atomic step, and a killed job resumes from the last committed checkpoint
 (P5, data.rs:104-114).
 
-Two table modes:
+Three table modes:
 
 - **cow** (copy-on-write): each commit writes a full new version directory —
-  the stand-in for Iceberg ``overwritePartitions``.
+  the stand-in for Iceberg ``overwritePartitions`` (used for ``scores``,
+  which PageRank legitimately replaces wholesale every round).
 - **append**: each commit writes only a delta directory; a read unions all
   committed deltas — the stand-in for Iceberg ``append`` (used for the
   monotone tables: seen set, trace, metrics — at 10^10 scale rewriting the
   seen set per round would dominate the job).
+- **merge** (merge-on-read): each commit writes ONE O(batch) delta file of
+  upsert rows plus tombstone key rows (``_ts`` flag); a read stacks the
+  deltas over the base with *replace-key-group* semantics — for every key
+  present in a delta (upsert or tombstone), all older rows of that key are
+  dropped and the delta's non-tombstone rows become the key's new group.
+  This is the stand-in for Iceberg MOR (``MERGE INTO`` + positional
+  deletes) and is what makes the per-round commit O(batch) instead of
+  O(state): the reference mutates `pages`/`edges`/`button_cache` in place
+  under a mutex (data.rs:298-326), and a naive snapshot port rewrote those
+  tables wholesale every round. Deltas fold into a new base every
+  ``COMPACT_AT`` commits (Iceberg's rewrite_data_files), so the read-side
+  anti-join stack stays bounded and the O(state) write cost is amortized
+  to state/COMPACT_AT per round.
+
+  Why merge-on-read and not bucketed partial rewrites: with
+  ``hash(key) % B`` buckets a batch of k uniformly-hashed keys touches
+  ~B·(1−e^(−k/B)) buckets — at any realistic batch:bucket ratio (150k keys
+  vs a few thousand buckets, or 5M keys vs even 10^6 buckets at the 10^10
+  design point) that is *all* of them, so "rewrite only touched buckets"
+  degenerates to the full rewrite it was meant to avoid. MOR's write cost
+  is genuinely independent of state size.
 
 Layout::
 
@@ -32,8 +54,24 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MergeDelta:
+    """One round's change set for a merge-on-read table.
+
+    ``rows``: the upserted rows (full table schema). ``keys``: the key
+    column(s) defining a group. ``dels``: optional key-only DataFrame of
+    groups to delete outright (keys also present in ``rows`` are simply
+    replaced — an explicit tombstone is unnecessary for them but harmless).
+    """
+    rows: DataFrame
+    keys: list[str]
+    dels: DataFrame | None = None
 
 
 class StateStore:
@@ -44,6 +82,8 @@ class StateStore:
         os.makedirs(os.path.join(root, "checkpoints"), exist_ok=True)
         self._cow: dict[str, int] = {}
         self._append: dict[str, list[int]] = {}
+        # name -> {"base": int|None, "deltas": [int...], "keys": [col...]}
+        self._merge: dict[str, dict] = {}
         self.round = 0
         self.stats: dict = {}
         self._load_checkpoint()
@@ -58,10 +98,15 @@ class StateStore:
                 ck = json.load(f)
             self._cow = dict(ck["cow"])
             self._append = {k: list(v) for k, v in ck["append"].items()}
+            self._merge = {k: {"base": v.get("base"),
+                               "deltas": list(v.get("deltas", [])),
+                               "keys": list(v["keys"])}
+                           for k, v in ck.get("merge", {}).items()}
             self.round = int(ck["round"])
             self.stats = dict(ck.get("stats", {}))
         except FileNotFoundError:
             self._cow, self._append, self.round, self.stats = {}, {}, 0, {}
+            self._merge = {}
 
     # write-spread keys: hash-repartition each staged table on its key so
     # parquet+zstd encoding parallelizes across cores instead of the 1-2
@@ -90,7 +135,8 @@ class StateStore:
     def commit(self, round_no: int, overwrite: dict[str, DataFrame],
                append: dict[str, DataFrame] | None = None,
                stats: dict | None = None,
-               late_append=None) -> None:
+               late_append=None,
+               merge: dict[str, MergeDelta] | None = None) -> None:
         """Write staged tables as new version dirs, then atomically flip the
         checkpoint pointer. One call per crawl round (P3). Table writes are
         submitted concurrently (Spark schedules them side by side), which is
@@ -105,12 +151,17 @@ class StateStore:
 
         new_cow = dict(self._cow)
         new_append = {k: list(v) for k, v in self._append.items()}
+        new_merge = {k: {"base": v["base"], "deltas": list(v["deltas"]),
+                         "keys": list(v["keys"])}
+                     for k, v in self._merge.items()}
         jobs = []
         doomed_deltas: list[str] = []
 
         def _next_v(name):
-            return max([new_cow.get(name, 0)]
-                       + new_append.get(name, [0])) + 1
+            m = new_merge.get(name, {})
+            return max([new_cow.get(name, 0), m.get("base") or 0]
+                       + new_append.get(name, [0])
+                       + list(m.get("deltas") or [0])) + 1
 
         for name, df in overwrite.items():
             v = _next_v(name)
@@ -120,6 +171,24 @@ class StateStore:
             v = _next_v(name)
             jobs.append((name, df, v))
             new_append.setdefault(name, []).append(v)
+        for name, md in (merge or {}).items():
+            # one O(batch) file: upserts (_ts=false) + tombstone keys
+            # (_ts=true, null payload). Key groups present in the delta
+            # replace the base group wholesale at read time.
+            delta = md.rows.withColumn("_ts", F.lit(False))
+            if md.dels is not None:
+                key_set = set(md.keys)
+                tomb = md.dels.select(*md.keys).select(
+                    *[F.col(f.name).cast(f.dataType) if f.name in key_set
+                      else F.lit(None).cast(f.dataType).alias(f.name)
+                      for f in md.rows.schema.fields],
+                    F.lit(True).alias("_ts"))
+                delta = delta.unionByName(tomb)
+            v = _next_v(name)
+            jobs.append((name, delta, v))
+            ent = new_merge.setdefault(
+                name, {"base": None, "deltas": [], "keys": list(md.keys)})
+            ent["deltas"].append(v)
 
         def _write(job):
             name, df, v = job
@@ -153,8 +222,30 @@ class StateStore:
             doomed_deltas.extend(self._table_path(name, x) for x in versions)
             new_append[name] = [v]
 
+        # ---- compaction of accumulated merge deltas ------------------------
+        # fold base + deltas into a new base once COMPACT_AT deltas pile up:
+        # bounds the read-side anti-join stack and amortizes the one O(state)
+        # write to state/COMPACT_AT per round (Iceberg rewrite_data_files).
+        for name, ent in list(new_merge.items()):
+            if len(ent["deltas"]) < self.COMPACT_AT:
+                continue
+            merged = self._merge_view(name, ent)
+            v = _next_v(name)
+            self._spread(name, merged).write.mode("overwrite").parquet(
+                self._table_path(name, v))
+            if ent["base"] is not None:
+                doomed_deltas.append(self._table_path(name, ent["base"]))
+            doomed_deltas.extend(self._table_path(name, x)
+                                 for x in ent["deltas"])
+            new_merge[name] = {"base": v, "deltas": [], "keys": ent["keys"]}
+
+        # stats may be a callable evaluated *after* late_append — lets the
+        # caller fold Observation results from the staged writes (queue
+        # length, seen count) into the same atomic checkpoint
+        ck_stats = (stats() if callable(stats) else stats) \
+            if stats is not None else self.stats
         ck = {"round": round_no, "cow": new_cow, "append": new_append,
-              "stats": stats if stats is not None else self.stats}
+              "merge": new_merge, "stats": ck_stats}
         ck_path = os.path.join(self.root, "checkpoints", f"r{round_no:06d}.json")
         with open(ck_path, "w") as f:
             json.dump(ck, f)
@@ -165,9 +256,31 @@ class StateStore:
         self._gc_old_versions(self._cow, new_cow)
         for path in doomed_deltas:  # superseded by the compacted version
             shutil.rmtree(path, ignore_errors=True)
-        self._cow, self._append = new_cow, new_append
+        self._cow, self._append, self._merge = new_cow, new_append, new_merge
         self.round = round_no
         self.stats = ck["stats"]
+
+    def _merge_view(self, name: str, ent: dict) -> DataFrame:
+        """Merged (current) view of a merge-on-read table: base with each
+        delta's key groups replaced, oldest delta first. The per-delta key
+        sets are batch-sized parquet reads with size stats, so Catalyst
+        auto-broadcasts the anti-joins — the base is never shuffled (the
+        read stays a map-side filter over the base scan). At 10^10 scale
+        with multi-GB key sets the anti-joins fall back to shuffle joins;
+        the Bloom pre-filter in operators/bloom.py is the documented
+        escape hatch."""
+        keys = ent["keys"]
+        cur = (self.spark.read.parquet(self._table_path(name, ent["base"]))
+               if ent["base"] is not None else None)
+        for v in ent["deltas"]:
+            d = self.spark.read.parquet(self._table_path(name, v))
+            rows = d.where(~F.col("_ts")).drop("_ts")
+            if cur is None:
+                cur = rows
+            else:
+                dkeys = d.select(*keys).distinct()
+                cur = cur.join(dkeys, keys, "left_anti").unionByName(rows)
+        return cur
 
     def _gc_old_versions(self, old_cow: dict[str, int],
                          new_cow: dict[str, int], keep: int = 2) -> None:
@@ -191,11 +304,16 @@ class StateStore:
         return os.path.join(self.root, "tables", name, f"v{version:06d}")
 
     def exists(self, name: str) -> bool:
-        return name in self._cow or name in self._append
+        return (name in self._cow or name in self._append
+                or name in self._merge)
 
     def read(self, name: str, schema: str | None = None) -> DataFrame:
         """Committed view of a table; empty DF (with ``schema``) when the
         table has never been committed."""
+        if name in self._merge:
+            ent = self._merge[name]
+            if ent["base"] is not None or ent["deltas"]:
+                return self._merge_view(name, ent)
         paths = []
         if name in self._cow:
             paths.append(self._table_path(name, self._cow[name]))
