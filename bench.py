@@ -46,6 +46,10 @@ CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "400"))
 CRAWL_PAGES_PER_HOST = int(os.environ.get("BENCH_CRAWL_PPH", "8"))
 CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "4"))
 CRAWL_FETCH_CAP = int(os.environ.get("BENCH_CRAWL_CAP", "3000"))
+# seed-page fanout (how many host roots the seed links via buttons) — the
+# frontier ramp-up knob; big scaling runs link every host so steady-state
+# full-cap rounds start by round ~4 instead of ~7
+CRAWL_FANOUT = int(os.environ.get("BENCH_CRAWL_FANOUT", "100"))
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -69,7 +73,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 def _bench_corpus_dir() -> str:
     from x227f_spark.sources.corpus import generate, write_parquet
 
-    key = f"h{CRAWL_HOSTS}_p{CRAWL_PAGES_PER_HOST}_f100_b612"
+    fanout = min(CRAWL_HOSTS, CRAWL_FANOUT)
+    key = f"h{CRAWL_HOSTS}_p{CRAWL_PAGES_PER_HOST}_f{fanout}_b612"
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "_data", f"bench_corpus_{key}")
     marker = os.path.join(out, "_DONE")
@@ -77,7 +82,7 @@ def _bench_corpus_dir() -> str:
         corpus = generate(n_hosts=CRAWL_HOSTS,
                           pages_per_host=CRAWL_PAGES_PER_HOST,
                           n_buttons=200, edge_cases=False,
-                          seed_button_fanout=min(CRAWL_HOSTS, 100),
+                          seed_button_fanout=fanout,
                           buttons_per_page=(6, 12), filler_text_spans=6)
         write_parquet(corpus, out)
         with open(os.path.join(out, "_SEED"), "w") as f:

@@ -32,8 +32,9 @@ from x227f_spark.plans.rounds import CrawlEngine
 
 cores = int(sys.argv[1]); corpus_dir = sys.argv[2]; seed = sys.argv[3]
 rounds = int(sys.argv[4]); cap = int(sys.argv[5])
-recrawl_h = int(sys.argv[6])
-cfg = EngineConfig(starting_point=seed, fetch_cap=cap, queue_cap=4 * cap)
+recrawl_h = int(sys.argv[6]); round_sec = int(sys.argv[7])
+cfg = EngineConfig(starting_point=seed, fetch_cap=cap, queue_cap=4 * cap,
+                   round_seconds=round_sec)
 if recrawl_h >= 0:
     # recrawl mode: visited pages come due again after `recrawl_h` hours of
     # virtual time (0 = immediately) — sustains full-cap steady-state
@@ -73,13 +74,15 @@ def _pin(cores: int) -> list[str]:
 
 
 def run_level(cores: int, corpus_dir: str, seed: str, rounds: int,
-              cap: int, recrawl_hours: int) -> list[dict]:
+              cap: int, recrawl_hours: int, round_seconds: int,
+              timeout: int = 3600) -> list[dict]:
     script = RUNNER.format(repo=REPO)
     env = dict(os.environ)
     out = subprocess.run(
         _pin(cores) + [sys.executable, "-c", script, str(cores), corpus_dir,
-                       seed, str(rounds), str(cap), str(recrawl_hours)],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600)
+                       seed, str(rounds), str(cap), str(recrawl_hours),
+                       str(round_seconds)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=timeout)
     sys.stderr.write(out.stderr[-2000:])
     if out.returncode != 0:
         raise RuntimeError(f"level {cores} failed: {out.stderr[-1000:]}")
@@ -98,18 +101,28 @@ def main():
                     help="-1 = reference default (no recrawl in bench "
                          "horizon); >=0 = recrawl mode for sustained "
                          "full-cap steady-state rounds")
+    ap.add_argument("--fanout", type=int, default=100,
+                    help="seed-page host fanout (frontier ramp-up speed)")
+    ap.add_argument("--round-seconds", type=int, default=15,
+                    help="virtual round window; politeness budget/host = "
+                         "round_seconds // crawl_delay, so big-round runs "
+                         "(millions of URLs) use a bigger window — the "
+                         "10^10-frontier design point")
+    ap.add_argument("--timeout", type=int, default=3600)
     args = ap.parse_args()
 
     import bench
     bench.CRAWL_HOSTS = args.hosts
     bench.CRAWL_PAGES_PER_HOST = args.pph
+    bench.CRAWL_FANOUT = args.fanout
     corpus_dir, seed = bench._bench_corpus_dir()
 
     lo, hi = (int(x) for x in args.levels.split(","))
     results = {}
     for cores in (lo, hi):
         rows = run_level(cores, corpus_dir, seed, args.rounds, args.cap,
-                         args.recrawl_hours)
+                         args.recrawl_hours, args.round_seconds,
+                         timeout=args.timeout)
         steady = rows[args.warmup:]
         fetched = sum(r["fetched"] for r in rows)
         wall = sum(r["sec"] for r in rows)
@@ -140,7 +153,9 @@ def main():
         "input": {"hosts": args.hosts, "pages_per_host": args.pph,
                   "fetch_cap": args.cap, "rounds": args.rounds,
                   "warmup_excluded": args.warmup,
-                  "recrawl_hours": args.recrawl_hours},
+                  "recrawl_hours": args.recrawl_hours,
+                  "round_seconds": args.round_seconds,
+                  "fanout": args.fanout},
         "levels": {str(k): v for k, v in results.items()},
         "scaling_efficiency_full": round(eff_full, 3),
         "scaling_efficiency_steady": round(eff_steady, 3),

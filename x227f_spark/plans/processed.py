@@ -247,80 +247,119 @@ def _iter_sorted(df: DataFrame, idx_col: str):
     return df.orderBy(idx_col).toLocalIterator(prefetchPartitions=True)
 
 
-def _fill_indexed(rows, idx_col: str, fields: list[str], n: int):
-    """Expand a sparse (idx → vectors) stream into dense per-field lists of
-    length ``n`` with [] at the gaps."""
-    out = {f: [[] for _ in range(n)] for f in fields}
-    for r in rows:
-        i = r[idx_col]
-        for f in fields:
-            out[f][i] = list(r[f])
-    return out
-
-
-def save_processed(spark: SparkSession, pages: DataFrame, out_dir: str) -> dict:
+def save_processed(spark: SparkSession, pages: DataFrame, out_dir: str,
+                   return_data: bool = True) -> dict | None:
     """S4 — assemble the reference's exact JSON shape and write 88x31.json,
     88x31.cbor + stats.json atomically (.bak + rename, processed.rs:222-239);
-    the DataFrames are also written as parquet — the scale-safe artifact
-    (the single-file JSON/CBOR funnel is inherent to the reference's format;
-    assembly streams per-partition instead of collecting five full tables).
-    """
+    the DataFrames are also written as parquet — the scale-safe artifact.
+
+    The single-file JSON/CBOR funnel is inherent to the reference's format,
+    but the assembly is fully streaming: each field is emitted element-by-
+    element straight into the file from a ``toLocalIterator`` over the
+    just-written parquet (one cheap column-pruned scan per field), so peak
+    driver memory is one partition — no O(n_pages) dense lists. The byte
+    output is identical to ``json.dumps``/``cbor.dumps`` of the full dict
+    (default separators; definite-length CBOR heads), which the export
+    parity test verifies against an independent decoder.
+
+    ``return_data=False`` is the production mode (nothing table-sized is
+    ever held); ``True`` additionally materializes the dict for the
+    golden-twin comparison tests."""
     t = build_processed(spark, pages)
     os.makedirs(out_dir, exist_ok=True)
     for name, df in t.items():
         df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
 
-    dict_pages = [r["page_id"] for r in _iter_sorted(t["pages"], "page_idx")]
-    n_pages = len(dict_pages)
+    def tbl(name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(out_dir, name))
 
-    buttons = []
-    button_file_exts = []
-    button_names = []
-    button_links = []
-    button_backlinks = []
-    for r in _iter_sorted(t["buttons"], "button_idx"):
-        buttons.append(r["hash"])
-        button_file_exts.append(r["file_ext"])
-        button_names.append(list(r["names"]))
-        button_links.append(list(r["links"]))
-        button_backlinks.append(list(r["backlinks"]))
+    n_pages = tbl("pages").count()
+    n_buttons = tbl("buttons").count()
+    n_texts = tbl("texts").count()
 
-    pv = _fill_indexed(
-        _iter_sorted(t["page_vectors"], "page_idx"), "page_idx",
-        ["links", "link_buttons", "link_button_alts", "link_button_titles",
-         "link_button_filenames"], n_pages)
-    bv = _fill_indexed(
-        _iter_sorted(t["backlink_vectors"], "page_idx"), "page_idx",
-        ["backlinks", "backlink_buttons"], n_pages)
+    def col_iter(name, idx, field, is_list):
+        def it():
+            for r in _iter_sorted(tbl(name).select(idx, field), idx):
+                yield list(r[field]) if is_list else r[field]
+        return it
 
-    data = {
-        "pages": dict_pages,
-        "buttons": buttons,
-        "texts": [r["text"] for r in _iter_sorted(t["texts"], "text_idx")],
-        "button_file_exts": button_file_exts,
-        "button_names": button_names,
-        "button_links": button_links,
-        "button_backlinks": button_backlinks,
-        "links": pv["links"],
-        "link_buttons": pv["link_buttons"],
-        "link_button_alts": pv["link_button_alts"],
-        "link_button_titles": pv["link_button_titles"],
-        "link_button_filenames": pv["link_button_filenames"],
-        "backlinks": bv["backlinks"],
-        "backlink_buttons": bv["backlink_buttons"],
-    }
+    def dense_iter(name, idx, field):
+        """Sparse (idx → vector) stream → dense stream with [] gaps."""
+        def it():
+            i = 0
+            for r in _iter_sorted(tbl(name).select(idx, field), idx):
+                while i < r[idx]:
+                    yield []
+                    i += 1
+                yield list(r[field])
+                i += 1
+            while i < n_pages:
+                yield []
+                i += 1
+        return it
 
-    def _atomic(name: str, payload: bytes) -> None:
+    fields = [
+        ("pages", n_pages, col_iter("pages", "page_idx", "page_id", False)),
+        ("buttons", n_buttons,
+         col_iter("buttons", "button_idx", "hash", False)),
+        ("texts", n_texts, col_iter("texts", "text_idx", "text", False)),
+        ("button_file_exts", n_buttons,
+         col_iter("buttons", "button_idx", "file_ext", False)),
+        ("button_names", n_buttons,
+         col_iter("buttons", "button_idx", "names", True)),
+        ("button_links", n_buttons,
+         col_iter("buttons", "button_idx", "links", True)),
+        ("button_backlinks", n_buttons,
+         col_iter("buttons", "button_idx", "backlinks", True)),
+        ("links", n_pages, dense_iter("page_vectors", "page_idx", "links")),
+        ("link_buttons", n_pages,
+         dense_iter("page_vectors", "page_idx", "link_buttons")),
+        ("link_button_alts", n_pages,
+         dense_iter("page_vectors", "page_idx", "link_button_alts")),
+        ("link_button_titles", n_pages,
+         dense_iter("page_vectors", "page_idx", "link_button_titles")),
+        ("link_button_filenames", n_pages,
+         dense_iter("page_vectors", "page_idx", "link_button_filenames")),
+        ("backlinks", n_pages,
+         dense_iter("backlink_vectors", "page_idx", "backlinks")),
+        ("backlink_buttons", n_pages,
+         dense_iter("backlink_vectors", "page_idx", "backlink_buttons")),
+    ]
+
+    def _atomic_stream(name: str, write_body) -> None:
         tmp = os.path.join(out_dir, name + ".bak")
         with open(tmp, "wb") as f:
-            f.write(payload)
+            write_body(f)
         os.replace(tmp, os.path.join(out_dir, name))
 
-    _atomic("88x31.json", json.dumps(data).encode("utf-8"))
-    _atomic("88x31.cbor", cbor.dumps(data))
-    _atomic("stats.json",
-            json.dumps({"buttons": len(data["buttons"])}).encode("utf-8"))
-    return data
+    def _json_body(f) -> None:  # byte-identical to json.dumps(data)
+        f.write(b"{")
+        for i, (name, _cnt, itf) in enumerate(fields):
+            if i:
+                f.write(b", ")
+            f.write(json.dumps(name).encode() + b": [")
+            for j, v in enumerate(itf()):
+                if j:
+                    f.write(b", ")
+                f.write(json.dumps(v).encode())
+            f.write(b"]")
+        f.write(b"}")
+
+    def _cbor_body(f) -> None:  # byte-identical to cbor.dumps(data)
+        f.write(cbor._head(5, len(fields)))
+        for name, cnt, itf in fields:
+            f.write(cbor.dumps(name))
+            f.write(cbor._head(4, cnt))
+            for v in itf():
+                f.write(cbor.dumps(v))
+
+    _atomic_stream("88x31.json", _json_body)
+    _atomic_stream("88x31.cbor", _cbor_body)
+    _atomic_stream("stats.json", lambda f: f.write(
+        json.dumps({"buttons": n_buttons}).encode("utf-8")))
+    if not return_data:
+        return None
+    return {name: list(itf()) for name, _cnt, itf in fields}
 
 
 # ---------------------------------------------------------------------------

@@ -24,10 +24,15 @@ Three table modes:
   deletes) and is what makes the per-round commit O(batch) instead of
   O(state): the reference mutates `pages`/`edges`/`button_cache` in place
   under a mutex (data.rs:298-326), and a naive snapshot port rewrote those
-  tables wholesale every round. Deltas fold into a new base every
-  ``COMPACT_AT`` commits (Iceberg's rewrite_data_files), so the read-side
-  anti-join stack stays bounded and the O(state) write cost is amortized
-  to state/COMPACT_AT per round.
+  tables wholesale every round. Compaction is ADAPTIVE (LSM-style
+  absorption): when the accumulated delta bytes (plus this round's,
+  estimated from the last write) reach half the base size — or the stack
+  reaches ``COMPACT_AT`` — the commit writes the merged table as a new
+  base instead of stacking another delta. A light-churn round (batch ≪
+  state, the 10^10 design point) writes O(batch) with ≤1.5x amortized
+  write amplification; an extreme-churn round (batch ≈ state, e.g. a
+  recrawl-everything bench) degrades gracefully to exactly one full
+  write per round — the copy-on-write cost, never worse.
 
   Why merge-on-read and not bucketed partial rewrites: with
   ``hash(key) % B`` buckets a batch of k uniformly-hashed keys touches
@@ -58,6 +63,19 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _dir_bytes(path: str) -> int:
+    """Total bytes under a version dir (driver-side fs metadata; a version
+    dir holds at most ~defaultParallelism files)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
 
 
 @dataclass
@@ -100,7 +118,10 @@ class StateStore:
             self._append = {k: list(v) for k, v in ck["append"].items()}
             self._merge = {k: {"base": v.get("base"),
                                "deltas": list(v.get("deltas", [])),
-                               "keys": list(v["keys"])}
+                               "keys": list(v["keys"]),
+                               "base_bytes": int(v.get("base_bytes", 0)),
+                               "delta_bytes": list(v.get("delta_bytes", [])),
+                               "last_bytes": int(v.get("last_bytes", 0))}
                            for k, v in ck.get("merge", {}).items()}
             self.round = int(ck["round"])
             self.stats = dict(ck.get("stats", {}))
@@ -132,6 +153,13 @@ class StateStore:
     # the table every COMPACT_AT rounds).
     COMPACT_AT = 8
 
+    # merge tables absorb on the SIZE criterion (amortized write ≤ 3x batch
+    # — delta + the 2x-batch amortized fold when deltas reach half the
+    # base); this cap only bounds read-plan depth / file-listing fan-in in
+    # ultra-light-churn regimes and is deliberately larger than COMPACT_AT
+    # (an absorb every 8 rounds would re-introduce O(state/8) per round)
+    MERGE_STACK_MAX = 24
+
     def commit(self, round_no: int, overwrite: dict[str, DataFrame],
                append: dict[str, DataFrame] | None = None,
                stats: dict | None = None,
@@ -152,7 +180,10 @@ class StateStore:
         new_cow = dict(self._cow)
         new_append = {k: list(v) for k, v in self._append.items()}
         new_merge = {k: {"base": v["base"], "deltas": list(v["deltas"]),
-                         "keys": list(v["keys"])}
+                         "keys": list(v["keys"]),
+                         "base_bytes": v.get("base_bytes", 0),
+                         "delta_bytes": list(v.get("delta_bytes", [])),
+                         "last_bytes": v.get("last_bytes", 0)}
                      for k, v in self._merge.items()}
         jobs = []
         doomed_deltas: list[str] = []
@@ -171,24 +202,63 @@ class StateStore:
             v = _next_v(name)
             jobs.append((name, df, v))
             new_append.setdefault(name, []).append(v)
+        absorbed: list[tuple[str, int]] = []  # (name, new base version)
+        delta_written: list[tuple[str, int]] = []
         for name, md in (merge or {}).items():
-            # one O(batch) file: upserts (_ts=false) + tombstone keys
-            # (_ts=true, null payload). Key groups present in the delta
-            # replace the base group wholesale at read time.
-            delta = md.rows.withColumn("_ts", F.lit(False))
-            if md.dels is not None:
-                key_set = set(md.keys)
-                tomb = md.dels.select(*md.keys).select(
-                    *[F.col(f.name).cast(f.dataType) if f.name in key_set
-                      else F.lit(None).cast(f.dataType).alias(f.name)
-                      for f in md.rows.schema.fields],
-                    F.lit(True).alias("_ts"))
-                delta = delta.unionByName(tomb)
-            v = _next_v(name)
-            jobs.append((name, delta, v))
             ent = new_merge.setdefault(
-                name, {"base": None, "deltas": [], "keys": list(md.keys)})
-            ent["deltas"].append(v)
+                name, {"base": None, "deltas": [], "keys": list(md.keys),
+                       "base_bytes": 0, "delta_bytes": [], "last_bytes": 0})
+            # LSM-style absorption decision: once the accumulated delta
+            # volume (plus this round's, estimated from the last write)
+            # approaches the base size — or the stack hits COMPACT_AT —
+            # write the MERGED table as a new base instead of stacking
+            # another delta. Extreme-churn rounds (batch ≈ state, e.g. a
+            # recrawl-everything regime) then cost exactly one full write
+            # like copy-on-write did, while light-churn rounds (batch ≪
+            # state, the 10^10 design point) stay O(batch) with a bounded
+            # read-side stack and ≤1.5x amortized write amplification.
+            dsum = sum(ent.get("delta_bytes") or [])
+            est = ent.get("last_bytes", 0)
+            absorb = (ent["base"] is None
+                      or len(ent["deltas"]) + 1 >= self.MERGE_STACK_MAX
+                      or dsum + est >= 0.5 * ent.get("base_bytes", 0))
+            v = _next_v(name)
+            if absorb:
+                cur = self._merge_view(name, ent) if ent["base"] is not None \
+                    or ent["deltas"] else None
+                if cur is None:
+                    merged = md.rows
+                else:
+                    dkeys = md.rows.select(*md.keys)
+                    if md.dels is not None:
+                        dkeys = dkeys.unionByName(md.dels.select(*md.keys))
+                    merged = cur.join(dkeys.distinct(), md.keys, "left_anti") \
+                                .unionByName(md.rows)
+                jobs.append((name, merged, v))
+                if ent["base"] is not None:
+                    doomed_deltas.append(self._table_path(name, ent["base"]))
+                doomed_deltas.extend(self._table_path(name, x)
+                                     for x in ent["deltas"])
+                new_merge[name] = {"base": v, "deltas": [],
+                                   "keys": list(md.keys), "base_bytes": 0,
+                                   "delta_bytes": [], "last_bytes": est}
+                absorbed.append((name, v))
+            else:
+                # one O(batch) file: upserts (_ts=false) + tombstone keys
+                # (_ts=true, null payload). Key groups present in the delta
+                # replace the base group wholesale at read time.
+                delta = md.rows.withColumn("_ts", F.lit(False))
+                if md.dels is not None:
+                    key_set = set(md.keys)
+                    tomb = md.dels.select(*md.keys).select(
+                        *[F.col(f.name).cast(f.dataType) if f.name in key_set
+                          else F.lit(None).cast(f.dataType).alias(f.name)
+                          for f in md.rows.schema.fields],
+                        F.lit(True).alias("_ts"))
+                    delta = delta.unionByName(tomb)
+                jobs.append((name, delta, v))
+                ent["deltas"].append(v)
+                delta_written.append((name, v))
 
         def _write(job):
             name, df, v = job
@@ -222,22 +292,14 @@ class StateStore:
             doomed_deltas.extend(self._table_path(name, x) for x in versions)
             new_append[name] = [v]
 
-        # ---- compaction of accumulated merge deltas ------------------------
-        # fold base + deltas into a new base once COMPACT_AT deltas pile up:
-        # bounds the read-side anti-join stack and amortizes the one O(state)
-        # write to state/COMPACT_AT per round (Iceberg rewrite_data_files).
-        for name, ent in list(new_merge.items()):
-            if len(ent["deltas"]) < self.COMPACT_AT:
-                continue
-            merged = self._merge_view(name, ent)
-            v = _next_v(name)
-            self._spread(name, merged).write.mode("overwrite").parquet(
+        # ---- merge-table size bookkeeping (drives the absorb decision) ----
+        for name, v in absorbed:
+            new_merge[name]["base_bytes"] = _dir_bytes(
                 self._table_path(name, v))
-            if ent["base"] is not None:
-                doomed_deltas.append(self._table_path(name, ent["base"]))
-            doomed_deltas.extend(self._table_path(name, x)
-                                 for x in ent["deltas"])
-            new_merge[name] = {"base": v, "deltas": [], "keys": ent["keys"]}
+        for name, v in delta_written:
+            b = _dir_bytes(self._table_path(name, v))
+            new_merge[name]["delta_bytes"].append(b)
+            new_merge[name]["last_bytes"] = b
 
         # stats may be a callable evaluated *after* late_append — lets the
         # caller fold Observation results from the staged writes (queue
