@@ -187,7 +187,13 @@ frontier ramp-up).
 Recrawl-hours={out['input'].get('recrawl_hours', -1)} (≥0 → visited pages
 come due again, sustaining full-cap rounds on the finite corpus — the
 steady-state regime of a production recrawl-heavy frontier; -1 → reference
-default intervals).
+default intervals). Round window = {out['input'].get('round_seconds', 15)} s
+of virtual time (politeness budget/host = window // crawl_delay, so the
+fetch cap is reachable across {out['input']['hosts']} hosts); seed fanout
+{out['input'].get('fanout', 100)} hosts (PageRank admission bounds the
+fanout: a seed linking F hosts contributes 0.85*0.15/outdeg ≈ 0.127/F to
+each, which must clear the 0.151 admission threshold, so F ≲ 120 and the
+frontier ramps multiplicatively instead).
 
 | level | URLs fetched | full-run URLs/s | steady-state URLs/s |
 |---|---|---|---|
@@ -228,6 +234,31 @@ Per-round seconds:
             " per-round control-plane floor\n(driver latency + small-job"
             " barriers) that amortizes as rounds grow toward the\n10^10"
             "-frontier design point (millions of URLs per round).\n")
+    cb_path = os.path.join(REPO, "BENCH", "commit_obatch.json")
+    if os.path.exists(cb_path):
+        with open(cb_path) as f:
+            cb = json.load(f)
+        l1, l2 = cb["legs"]["1x"], cb["legs"]["2x"]
+        md += f"""
+## Commit-path scaling (merge-on-read, tools/bench_commit.py)
+
+The per-round state commit is O(batch): doubling the table's state size
+with the SAME batch leaves the delta-commit time unchanged.
+
+| state rows | batch | median delta-commit sec |
+|---|---|---|
+| {l1['state_rows']} | {l1['batch']} | {l1['median_delta_commit_sec']} |
+| {l2['state_rows']} | {l2['batch']} | {l2['median_delta_commit_sec']} |
+
+Ratio (2x state / 1x state): **{cb['write_time_ratio_2x_state']}** (≈1.0 ⇒
+independent of state; the old copy-on-write rebuild measured ≈2.0 by
+construction). Absorption commits (the amortized fold of accumulated
+deltas into a new base) are reported separately by the tool — that is the
+LSM-style cost the design pays instead of O(state) every round; in the
+extreme-churn regime of THIS bench (cap ≈ corpus, recrawl=0) the store
+auto-degrades to exactly one full write per round, the same as
+copy-on-write, never worse.
+"""
     fs_path = os.path.join(REPO, "BENCH", "fetch_stage_scaling.json")
     if os.path.exists(fs_path):
         with open(fs_path) as f:
