@@ -202,74 +202,69 @@ class StateStore:
             v = _next_v(name)
             jobs.append((name, df, v))
             new_append.setdefault(name, []).append(v)
-        absorbed: list[tuple[str, int]] = []  # (name, new base version)
         delta_written: list[tuple[str, int]] = []
         for name, md in (merge or {}).items():
             ent = new_merge.setdefault(
                 name, {"base": None, "deltas": [], "keys": list(md.keys),
                        "base_bytes": 0, "delta_bytes": [], "last_bytes": 0})
-            # LSM-style absorption decision: once the accumulated delta
-            # volume (plus this round's, estimated from the last write)
-            # approaches the base size — or the stack hits COMPACT_AT —
-            # write the MERGED table as a new base instead of stacking
-            # another delta. Extreme-churn rounds (batch ≈ state, e.g. a
-            # recrawl-everything regime) then cost exactly one full write
-            # like copy-on-write did, while light-churn rounds (batch ≪
-            # state, the 10^10 design point) stay O(batch) with a bounded
-            # read-side stack and ≤1.5x amortized write amplification.
-            dsum = sum(ent.get("delta_bytes") or [])
-            est = ent.get("last_bytes", 0)
-            absorb = (ent["base"] is None
-                      or len(ent["deltas"]) + 1 >= self.MERGE_STACK_MAX
-                      or dsum + est >= 0.5 * ent.get("base_bytes", 0))
+            # every round writes ONE O(batch) delta file: upserts
+            # (_ts=false) + tombstone keys (_ts=true, null payload). Key
+            # groups present in the delta replace the base group wholesale
+            # at read time. Folding deltas into the base (LSM absorption)
+            # happens AFTER the delta lands, from the on-disk parquet only
+            # — see the fold loop below.
+            delta = md.rows.withColumn("_ts", F.lit(False))
+            if md.dels is not None:
+                key_set = set(md.keys)
+                tomb = md.dels.select(*md.keys).select(
+                    *[F.col(f.name).cast(f.dataType) if f.name in key_set
+                      else F.lit(None).cast(f.dataType).alias(f.name)
+                      for f in md.rows.schema.fields],
+                    F.lit(True).alias("_ts"))
+                delta = delta.unionByName(tomb)
             v = _next_v(name)
-            if absorb:
-                cur = self._merge_view(name, ent) if ent["base"] is not None \
-                    or ent["deltas"] else None
-                if cur is None:
-                    merged = md.rows
-                else:
-                    dkeys = md.rows.select(*md.keys)
-                    if md.dels is not None:
-                        dkeys = dkeys.unionByName(md.dels.select(*md.keys))
-                    merged = cur.join(dkeys.distinct(), md.keys, "left_anti") \
-                                .unionByName(md.rows)
-                jobs.append((name, merged, v))
-                if ent["base"] is not None:
-                    doomed_deltas.append(self._table_path(name, ent["base"]))
-                doomed_deltas.extend(self._table_path(name, x)
-                                     for x in ent["deltas"])
-                new_merge[name] = {"base": v, "deltas": [],
-                                   "keys": list(md.keys), "base_bytes": 0,
-                                   "delta_bytes": [], "last_bytes": est}
-                absorbed.append((name, v))
-            else:
-                # one O(batch) file: upserts (_ts=false) + tombstone keys
-                # (_ts=true, null payload). Key groups present in the delta
-                # replace the base group wholesale at read time.
-                delta = md.rows.withColumn("_ts", F.lit(False))
-                if md.dels is not None:
-                    key_set = set(md.keys)
-                    tomb = md.dels.select(*md.keys).select(
-                        *[F.col(f.name).cast(f.dataType) if f.name in key_set
-                          else F.lit(None).cast(f.dataType).alias(f.name)
-                          for f in md.rows.schema.fields],
-                        F.lit(True).alias("_ts"))
-                    delta = delta.unionByName(tomb)
-                jobs.append((name, delta, v))
-                ent["deltas"].append(v)
-                delta_written.append((name, v))
+            jobs.append((name, delta, v))
+            ent["deltas"].append(v)
+            delta_written.append((name, v))
 
         def _write(job):
             name, df, v = job
             self._spread(name, df).write.mode("overwrite").parquet(
                 self._table_path(name, v))
 
-        # one thread per staged table: the writes are independent Spark jobs
-        # and the scheduler interleaves their tasks, so a narrow pool just
-        # serializes the small tables behind the big ones
-        with ThreadPoolExecutor(max_workers=len(jobs) or 1) as ex:
-            list(ex.map(_write, jobs))
+        def _try_write(job):
+            try:
+                _write(job)
+                return None
+            except Exception as e:
+                return (job, e)
+
+        # Writes run STRICTLY SERIALLY. Concurrent table writes (the pool
+        # rounds 1-2 used) race on shared lazily-cached subplans in local
+        # mode: two queries materialize the same InMemoryRelation/exchange
+        # under AQE with different coalesced partition counts, and once the
+        # poisoned cache exists EVERY re-execution in the session fails
+        # ("Can't zip RDDs with unequal numbers of partitions" — observed
+        # deterministically at 1M-row commits, healed only by a fresh
+        # session). Serial writes materialize shared caches exactly once,
+        # and each big write saturates the executor cores with its own
+        # tasks anyway. On a real deployment each table write is its own
+        # job against the catalog (Iceberg commit) and the race does not
+        # exist. A transient failure is still retried once.
+        n_workers = int(os.environ.get("X227F_COMMIT_WRITE_THREADS", "1"))
+        if n_workers > 1:
+            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                failures = [f for f in ex.map(_try_write, jobs)
+                            if f is not None]
+        else:
+            failures = [f for f in map(_try_write, jobs) if f is not None]
+        for job, first_err in failures:
+            try:
+                _write(job)
+            except Exception as e:
+                raise RuntimeError(
+                    f"commit write failed twice for table '{job[0]}' "
+                    f"v{job[2]} (first error: {first_err})") from e
 
         if late_append:
             late_jobs = []
@@ -292,14 +287,41 @@ class StateStore:
             doomed_deltas.extend(self._table_path(name, x) for x in versions)
             new_append[name] = [v]
 
-        # ---- merge-table size bookkeeping (drives the absorb decision) ----
-        for name, v in absorbed:
-            new_merge[name]["base_bytes"] = _dir_bytes(
-                self._table_path(name, v))
+        # ---- merge-table size bookkeeping + LSM fold ----------------------
         for name, v in delta_written:
             b = _dir_bytes(self._table_path(name, v))
             new_merge[name]["delta_bytes"].append(b)
             new_merge[name]["last_bytes"] = b
+        # Absorption: once accumulated delta bytes reach half the base size
+        # (or the stack hits MERGE_STACK_MAX, or there is no base yet),
+        # fold base+deltas into a new base. The fold reads ONLY the
+        # committed parquet files — scans, anti-joins, one union — never
+        # the round's live plans, so it composes with any producer plan
+        # and costs pure I/O-bounded work. Light-churn rounds (batch ≪
+        # state, the 10^10 design point) fold rarely: amortized write is
+        # ≤3x batch. Extreme-churn rounds (batch ≈ state) fold every
+        # round: one delta + one full write, the LSM equivalent of the
+        # old copy-on-write cost.
+        for name, ent in list(new_merge.items()):
+            dsum = sum(ent.get("delta_bytes") or [])
+            if not ent["deltas"]:
+                continue
+            if not (ent["base"] is None
+                    or len(ent["deltas"]) >= self.MERGE_STACK_MAX
+                    or dsum >= 0.5 * ent.get("base_bytes", 0)):
+                continue
+            merged = self._merge_view(name, ent)
+            v = _next_v(name)
+            self._spread(name, merged).write.mode("overwrite").parquet(
+                self._table_path(name, v))
+            if ent["base"] is not None:
+                doomed_deltas.append(self._table_path(name, ent["base"]))
+            doomed_deltas.extend(self._table_path(name, x)
+                                 for x in ent["deltas"])
+            new_merge[name] = {
+                "base": v, "deltas": [], "keys": list(ent["keys"]),
+                "base_bytes": _dir_bytes(self._table_path(name, v)),
+                "delta_bytes": [], "last_bytes": ent.get("last_bytes", 0)}
 
         # stats may be a callable evaluated *after* late_append — lets the
         # caller fold Observation results from the staged writes (queue
