@@ -37,8 +37,12 @@ def pagerank_iterations(nodes: DataFrame, edges: DataFrame, scores: DataFrame,
     the checkpoint blocks are reclaimed when the round commits."""
     base = 1.0 - damping
     if cut is None:
+        from .qcache import scoped
+
         def cut(df):
-            return df.localCheckpoint(eager=True)
+            # registered with the harness cache scope so a driver-query
+            # caller (no round-scoped hook) leaves no cached blocks behind
+            return scoped(df.localCheckpoint(eager=True))
 
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     contrib_edges = (

@@ -23,12 +23,23 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def scoped(df: DataFrame) -> DataFrame:
+    """Register an already-cached DF (e.g. a localCheckpoint) for release."""
+    _SCOPED.append(df)
+    return df
+
+
 def release_caches() -> None:
-    """Unpersist every block registered since the last release."""
+    """Unpersist every block registered since the last release. Handles
+    both CacheManager entries (persist) and localCheckpoint blocks, which
+    live at the RDD level and are invisible to ``DataFrame.unpersist``."""
     global _SCOPED
     for df in _SCOPED:
         try:
             df.unpersist(blocking=False)
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(False)
         except Exception:
             pass  # session already stopped — nothing to free
     _SCOPED = []
