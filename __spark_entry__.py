@@ -36,7 +36,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordering contract: the driver runs only the FIRST 50 entries, so every
+    oracle-backed query (i.e. every key of ``oracle_sql()``) is listed first —
+    38 of them — followed by the rows-only block. tools/check_oracles.py
+    asserts this prefix invariant so a future addition can't silently push an
+    oracle-backed query past the cap again (round-3 regression: o3/o4/t4)."""
     return {
+        # ---- oracle-backed (must all precede the rows-only block) ----
         # crawl operators (SURVEY.md §2) over driver tables
         "f1_host_suffix_filter": relational.f1_host_suffix_filter,
         "f12_recrawl_due": relational.f12_recrawl_due,
@@ -53,11 +59,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u6_source_filename": relational.u6_source_filename,
         "u7_host_shorten": relational.u7_host_shorten,
         "u8_content_hash": relational.u8_content_hash,
-        # training-data pipeline operators
         "o2_except_gc": relational.o2_except_gc,
         "g3_outdegree": relational.g3_outdegree,
         "j1_cache_lookup": relational.j1_cache_lookup,
         "p4_backoff_merge": relational.p4_backoff_merge,
+        "j5_dict_encode_join": contract.j5_dict_encode_join,
+        "g7_metrics": contract.g7_metrics,
+        "o3_except_truncate": contract.o3_except_truncate,
+        "o4_distinct_by_first": contract.o4_distinct_by_first,
+        "t4_top_scores": contract.t4_top_scores,
+        # training-data pipeline operators
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -66,23 +77,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_ivf_assign": similarity.ivf_assign,
         "ann_ivf_bucket_stats": similarity.ivf_bucket_stats,
-        # production ANN (sampled k-means + two-level coarse quantizer +
-        # multi-probe + hot-bucket salting): k-means output is not
-        # SQL-expressible — rows-only driver entries; recall/bounds are
-        # pytest-verified (tests/test_ann.py)
-        "ann_ivf_assign_prod": similarity.ivf_assign_production,
-        "ann_multiprobe_topk": similarity.ann_query_multiprobe,
-        "ann_buckets_salted": similarity.ivf_buckets_salted,
         "text_token_count": textstats.token_count,
         "text_quality": textstats.text_quality,
         "text_lang_id": textstats.lang_id,
         "text_fingerprint": textstats.fingerprint,
         "mm_decode_features": multimodal.decode_features,
         "mm_frame_sample": multimodal.frame_sample,
+        # ---- rows-only block (may spill past the driver's 50-query cap) ----
+        # Production ANN (sampled k-means + two-level coarse quantizer +
+        # multi-probe + hot-bucket salting): k-means output is not
+        # SQL-expressible — rows-only entries that SELF-ASSERT their
+        # invariants (agreement with flat argmax / recall vs exact top-k)
+        # and raise on a break, so the driver row is meaningful without a
+        # DuckDB oracle; also pytest-verified (tests/test_ann.py).
+        "ann_ivf_assign_prod": similarity.ivf_assign_production,
+        "ann_multiprobe_topk": similarity.ann_query_multiprobe,
         # UDF-shaped crawl operators (operators/contract.py). U1-U5, E1-E3,
         # T5/P8, X2/X3 are pure-Python URL/byte logic with no faithful
-        # ANSI-SQL twin → rows-only driver check by design (SURVEY.md §5.6);
-        # J5/G7/O3/O4/T4 carry full value oracles.
+        # ANSI-SQL twin → rows-only driver check by design (SURVEY.md §5.6).
         "u1_page_id": contract.u1_page_id,
         "u2_clean_page_url": contract.u2_clean_page_url,
         "u3_image_url_clean": contract.u3_image_url_clean,
@@ -93,13 +105,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_link_truncate": contract.e3_link_truncate,
         "t5_candidate_rotation": contract.t5_candidate_rotation,
         "p8_budget_pass": contract.p8_budget_pass,
+        # Past-the-cap spill (driver runs first 50; these 3 carry the
+        # strongest standalone pytest evidence): x2 pixels-equal invariant in
+        # test_fiximages, x3 unit-tested sniffer, salted-bucket bound check
+        # in test_ann.
         "x2_png_reencode": contract.x2_png_reencode,
         "x3_format_sniff": contract.x3_format_sniff,
-        "j5_dict_encode_join": contract.j5_dict_encode_join,
-        "g7_metrics": contract.g7_metrics,
-        "o3_except_truncate": contract.o3_except_truncate,
-        "o4_distinct_by_first": contract.o4_distinct_by_first,
-        "t4_top_scores": contract.t4_top_scores,
+        "ann_buckets_salted": similarity.ivf_buckets_salted,
     }
 
 

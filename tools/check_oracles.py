@@ -70,6 +70,26 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+
+    # Driver-cap invariant (round-3 regression guard): the driver runs only
+    # the FIRST 50 queries() entries, so every oracle-backed name must sit
+    # inside that window — enforce the stronger "all oracle-backed entries
+    # precede all rows-only entries" so adding queries can't silently push
+    # an oracle past the cap.
+    DRIVER_QUERY_CAP = 50
+    names = list(qs)
+    missing = sorted(set(oracles) - set(names))
+    assert not missing, f"oracle_sql() names absent from queries(): {missing}"
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if n not in oracles), len(names))
+    late_oracles = [n for n in names[first_rows_only:] if n in oracles]
+    assert not late_oracles, (
+        f"oracle-backed entries listed after a rows-only entry: {late_oracles}")
+    past_cap = [n for n in names[DRIVER_QUERY_CAP:] if n in oracles]
+    assert not past_cap, (
+        f"oracle-backed entries past the driver's {DRIVER_QUERY_CAP}-query "
+        f"cap: {past_cap}")
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -125,6 +125,14 @@ class StateStore:
                            for k, v in ck.get("merge", {}).items()}
             self.round = int(ck["round"])
             self.stats = dict(ck.get("stats", {}))
+            # commit() migrates cow→merge by adopting the cow version as the
+            # merge base, so a table in BOTH maps means a corrupt/foreign
+            # checkpoint — fail loudly rather than let read() pick one.
+            mixed = sorted(set(self._cow) & set(self._merge))
+            if mixed:
+                raise ValueError(
+                    f"checkpoint lists tables in both cow and merge modes: "
+                    f"{mixed} (corrupt or hand-edited checkpoint)")
         except FileNotFoundError:
             self._cow, self._append, self.round, self.stats = {}, {}, 0, {}
             self._merge = {}
@@ -204,9 +212,20 @@ class StateStore:
             new_append.setdefault(name, []).append(v)
         delta_written: list[tuple[str, int]] = []
         for name, md in (merge or {}).items():
-            ent = new_merge.setdefault(
-                name, {"base": None, "deltas": [], "keys": list(md.keys),
-                       "base_bytes": 0, "delta_bytes": [], "last_bytes": 0})
+            ent = new_merge.get(name)
+            if ent is None:
+                # First MergeDelta for this table. If a checkpoint written
+                # by the older copy-on-write format already holds a cow
+                # version, ADOPT it as the merge base — otherwise read()
+                # would prefer the (base=None) merge view and silently drop
+                # every pre-existing row, breaking the P5 resume guarantee
+                # across the format change.
+                cow_base = new_cow.pop(name, None)
+                ent = {"base": cow_base, "deltas": [], "keys": list(md.keys),
+                       "base_bytes": (_dir_bytes(self._table_path(name, cow_base))
+                                      if cow_base is not None else 0),
+                       "delta_bytes": [], "last_bytes": 0}
+                new_merge[name] = ent
             # every round writes ONE O(batch) delta file: upserts
             # (_ts=false) + tombstone keys (_ts=true, null payload). Key
             # groups present in the delta replace the base group wholesale
