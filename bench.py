@@ -131,11 +131,31 @@ def bench_crawl(spark) -> dict:
     }
 
 
+def _wait_for_idle(max_wait_sec: int) -> float:
+    """Benchmarks on a contended machine measure the contention, not the
+    code (observed: the same suite reads 115 s idle vs 201-344 s sharing
+    cores with a pytest run). Wait — bounded — for the 1-minute load
+    average to drop below a threshold before starting the clock, and
+    return the seconds waited; the final JSON records both the wait and
+    the load at start so a still-contended run is at least labeled."""
+    thresh = float(os.environ.get("BENCH_IDLE_LOAD", "4.0"))
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait_sec:
+        try:
+            if os.getloadavg()[0] <= thresh:
+                break
+        except OSError:
+            break
+        time.sleep(5)
+    return round(time.monotonic() - t0, 1)
+
+
 def main():
     from x227f_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    waited = _wait_for_idle(int(os.environ.get("BENCH_IDLE_WAIT", "180")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in sf_dir else 0.1
 
@@ -149,6 +169,10 @@ def main():
         else {}
     total = round(time.monotonic() - t0, 3)
 
+    try:
+        load_now = round(os.getloadavg()[0], 1)
+    except OSError:
+        load_now = None
     out = {
         "metric": "headline suite wall time (operator queries + crawl rounds)",
         "value": total,
@@ -157,6 +181,11 @@ def main():
         "sf": sf,
         "cpus": cpus,
         "crawl": crawl,
+        # measurement hygiene: load average when the clock ended and the
+        # seconds spent waiting for an idle machine — a load far above the
+        # session's own footprint means the numbers include contention
+        "load_avg_end": load_now,
+        "idle_wait_sec": waited,
     }
     # surface the latest N-vs-4N scaling evidence (tools/bench_scaling.py —
     # BENCH/BASELINE.md has the full protocol) in the one-line bench record

@@ -68,6 +68,26 @@ def test_multiprobe_recall_vs_bruteforce(spark):
     assert r8 > r3, f"probe knob must buy recall: {r3} -> {r8}"
 
 
+def test_index_builds_once_queries_many(spark, monkeypatch):
+    """The persisted AnnIndex is the deployment shape: two multiprobe
+    queries plus a salted-buckets call over the same (session, sf_dir)
+    train the k-means codebook exactly once and share the persisted
+    assignment table."""
+    S._clear_index_registry()
+    calls = {"n": 0}
+    orig = S.train_centroids
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(S, "train_centroids", counting)
+    S.ann_query_multiprobe(spark, SF_DIR).collect()
+    S.ann_query_multiprobe(spark, SF_DIR).collect()
+    S.ivf_buckets_salted(spark, SF_DIR).collect()
+    assert calls["n"] == 1
+
+
 def test_salted_buckets_bounded(spark):
     n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     cap = max(1, int(S.HOT_BUCKET_FACTOR * math.sqrt(n)))

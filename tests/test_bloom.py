@@ -95,3 +95,45 @@ def test_anti_join_parity_with_and_without_bloom(spark):
     b = {(r["page_id"], r["crawl_pos"]) for r in without.collect()}
     assert a == b
     assert len(a) > 0
+
+
+def test_shards_for_design_point():
+    """The default crawl path must construct S>1 at the 10^10-key
+    configuration point (a single 1%-FPR bitmap there is ~12 GB) while
+    sandbox-scale seen sets stay single-shard."""
+    from x227f_spark.operators.bloom import shards_for
+
+    assert shards_for(10**10, 0.01) >= 40
+    assert shards_for(1_000_000, 0.01) == 1
+
+
+def test_sharded_bloom_engages_mid_crawl_with_parity(
+        spark, corpus, corpus_dir, tmp_path, monkeypatch):
+    """Crossing the shard threshold mid-crawl: with a tiny per-shard byte
+    cap the engine starts single-shard and flips to S>1 as the seen set
+    grows — and the final seen set still exactly matches the golden
+    model."""
+    from x227f_spark.constants import EngineConfig
+    from x227f_spark.model import GoldenModel
+    from x227f_spark.operators import bloom as B
+    from x227f_spark.plans import rounds as R
+
+    cfg = EngineConfig(starting_point=corpus.seed_url, fetch_cap=50)
+    monkeypatch.setattr(R.CrawlEngine, "BLOOM_MIN_SEEN", 0)
+    monkeypatch.setattr(B, "SHARD_BYTES_MAX", 30)
+
+    shard_counts = []
+    orig = B.build_bloom
+
+    def spy(df, key, expected, fpp=0.01, n_shards=1):
+        shard_counts.append(n_shards)
+        return orig(df, key, expected, fpp, n_shards)
+
+    monkeypatch.setattr(R, "build_bloom", spy)
+    eng = R.CrawlEngine(spark, corpus_dir, str(tmp_path / "st"), config=cfg)
+    eng.run(5)
+    golden = GoldenModel(corpus, cfg)
+    golden.run(5)
+    assert eng.seen_set() == golden.seen_set()
+    assert shard_counts and max(shard_counts) > 1, shard_counts
+    assert min(shard_counts) == 1, shard_counts  # started single-shard

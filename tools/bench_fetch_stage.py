@@ -26,6 +26,7 @@ RUNNER = r"""
 import json, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
+from x227f_spark.operators.ranked import global_row_number
 from x227f_spark.session import get_spark
 from x227f_spark.constants import EngineConfig
 from x227f_spark.plans.rounds import CrawlEngine
@@ -36,13 +37,14 @@ spark = get_spark(cores=cores, app_name=f"fetchbench_{{cores}}",
                   driver_memory="48g")
 eng = CrawlEngine(spark, corpus_dir, tempfile.mkdtemp(), config=EngineConfig(
     starting_point=seed, fetch_cap=n))
-# fixed deterministic fetch set: first n docs by url
-sel = (eng.corpus.select("url").orderBy("url").limit(n)
+# fixed deterministic fetch set: first n docs by url (global_row_number —
+# no single-partition window, same as the engine's own ordinals)
+sel = (global_row_number(eng.corpus.select("url").orderBy("url").limit(n),
+                         ["url"], "rn")
        .withColumn("page_id", F.col("url"))
        .withColumn("host", F.regexp_extract("url", r"://([^/]*)", 1))
-       .withColumn("crawl_pos",
-                   F.row_number().over(__import__("pyspark").sql.Window.orderBy("url")) - 1)
-       .select("url", "page_id", "host", F.col("crawl_pos").cast("long"))
+       .withColumn("crawl_pos", (F.col("rn") - 1).cast("long"))
+       .select("url", "page_id", "host", "crawl_pos")
        .withColumn("queue_pos", F.col("crawl_pos")))
 sel = sel.localCheckpoint(eager=True)
 cache = spark.createDataFrame([], "url string, hash string, file_ext string, last_visited timestamp")
@@ -51,8 +53,8 @@ now = datetime.fromisoformat("2026-01-01T00:01:00+00:00")
 times = []
 for i in range(reps):
     t0 = time.monotonic()
-    fetched, errors, btns, media_new = eng._fetch(sel, cache, now)
-    n_pages = fetched.count(); n_btns = btns.count()
+    fetched, errors, btns, media_new, fetched_n = eng._fetch(sel, cache, now)
+    n_pages = fetched_n; n_btns = btns.count()
     times.append(round(time.monotonic() - t0, 2))
     eng._drop_round_persists()
     # ContextCleaner is weak-ref driven: without a GC between reps, shuffle

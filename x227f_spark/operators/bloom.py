@@ -116,6 +116,21 @@ class ShardedBloomFilter:
         return df.drop("_bloom_shard", *pos_names)
 
 
+# Per-broadcast bitmap cap. One 1%-FPR bloom over 10^10 keys is ~12 GB —
+# unbroadcastable whole; capping each shard at 256 MB yields S≈47 shards at
+# the 10^10 design point while every realistic sandbox/bench seen set stays
+# single-shard (a 256 MB bitmap covers ~2.2e8 keys at 1% FPR).
+SHARD_BYTES_MAX = 256 << 20
+
+
+def shards_for(expected: int, fpp: float = 0.01) -> int:
+    """Shard count so each shard's bitmap fits under ``SHARD_BYTES_MAX`` —
+    the engine wires this to its live seen-set count each round."""
+    bits = max(64, int(-max(expected, 16) * math.log(fpp)
+                       / (math.log(2) ** 2)))
+    return max(1, -(-(bits >> 3) // SHARD_BYTES_MAX))
+
+
 def build_bloom(df: DataFrame, key: Column, expected: int,
                 fpp: float = 0.01, n_shards: int = 1):
     """Build a broadcast Bloom filter over ``key`` of ``df``.

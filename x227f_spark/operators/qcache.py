@@ -15,6 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
+_ON_RELEASE: list = []
+
+
+def on_release(fn) -> None:
+    """Register a callback run by ``release_caches()`` — lets owners of
+    derived caches keyed on scoped DataFrames (e.g. the ANN index registry)
+    invalidate themselves when the scope closes."""
+    _ON_RELEASE.append(fn)
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
@@ -43,3 +51,8 @@ def release_caches() -> None:
         except Exception:
             pass  # session already stopped — nothing to free
     _SCOPED = []
+    for fn in _ON_RELEASE:
+        try:
+            fn()
+        except Exception:
+            pass

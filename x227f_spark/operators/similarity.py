@@ -227,10 +227,10 @@ def _two_level_index(cent):
     return sup, members
 
 
-def ivf_assign_production(spark: SparkSession, sf_dir: str,
-                          k: int | None = None, probe_supers: int = 3,
-                          hierarchical: bool = True) -> DataFrame:
-    """Assign every vector to its (approximately) nearest k-means centroid.
+def _assign_with_codebook(emb: DataFrame, cent, sup, members,
+                          hierarchical: bool = True,
+                          probe_supers: int = 3) -> DataFrame:
+    """Assign every vector to its (approximately) nearest codebook centroid.
 
     No n x K crossJoin: the codebook + two-level index are broadcast and a
     mapInPandas numpy matmul computes the argmax per Arrow batch — the
@@ -241,11 +241,7 @@ def ivf_assign_production(spark: SparkSession, sf_dir: str,
     """
     import numpy as np
 
-    emb = _emb(spark, sf_dir)
-    n = emb.count()
-    k = k or n_centroids(n)
-    cent = train_centroids(emb, k)
-    sup, members = _two_level_index(cent)
+    spark = emb.sparkSession
     sc = spark.sparkContext
     bc = sc.broadcast((cent, sup, members, bool(hierarchical),
                        int(probe_supers)))
@@ -291,19 +287,99 @@ def ivf_assign_production(spark: SparkSession, sf_dir: str,
         assign_batches, "vec_id long, centroid_id long, sim double")
 
 
+class AnnIndex:
+    """Build-once / query-many IVF index — the FAISS-style deployment shape.
+
+    Construction trains the sampled-k-means codebook ONCE, builds the
+    two-level coarse quantizer, and persists the full assignment table
+    (vec_id → centroid_id) through the harness cache scope; every query
+    (multiprobe top-k, salted buckets, bucket stats) then reuses the
+    trained centroids and the cached assignment instead of re-training and
+    re-scanning per call. ``index_for`` memoizes per (session, sf_dir, k)
+    and the registry empties itself when ``qcache.release_caches()`` closes
+    the scope, so a long-lived session holds no stale blocks."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 k: int | None = None):
+        from .qcache import scoped_persist
+
+        self.emb = _emb(spark, sf_dir)
+        self.n = self.emb.count()
+        self.k = k or n_centroids(self.n)
+        self.cent = train_centroids(self.emb, self.k)
+        self.sup, self.members = _two_level_index(self.cent)
+        self.assigned = scoped_persist(_assign_with_codebook(
+            self.emb, self.cent, self.sup, self.members))
+
+
+_INDEX_REGISTRY: dict[tuple, AnnIndex] = {}
+
+
+def _clear_index_registry() -> None:
+    _INDEX_REGISTRY.clear()
+
+
+def index_for(spark: SparkSession, sf_dir: str,
+              k: int | None = None) -> AnnIndex:
+    from .qcache import on_release
+
+    if not _INDEX_REGISTRY:
+        on_release(_clear_index_registry)
+    key = (id(spark), sf_dir, k)
+    idx = _INDEX_REGISTRY.get(key)
+    if idx is None:
+        idx = _INDEX_REGISTRY[key] = AnnIndex(spark, sf_dir, k)
+    return idx
+
+
+def ivf_assign_production(spark: SparkSession, sf_dir: str,
+                          k: int | None = None,
+                          hierarchical: bool = True) -> DataFrame:
+    """Production assignment via the persisted index (training is shared
+    across calls through ``index_for``). ``hierarchical=False`` returns the
+    flat argmax over the same codebook — the reference the tests compare
+    against.
+
+    Self-verifying driver entry (no DuckDB oracle is possible for k-means
+    output): the hierarchical path asserts its O(sqrt(K))-per-vector
+    assignment agrees with the flat argmax on ≥85% of vectors (i.i.d.
+    uniform embeddings are the structureless worst case — the pytest-pinned
+    bar; real corpora sit far higher), so a green driver row certifies the
+    two-level quantizer, not just "returned rows"."""
+    idx = index_for(spark, sf_dir, k)
+    if not hierarchical:
+        return _assign_with_codebook(idx.emb, idx.cent, idx.sup,
+                                     idx.members, hierarchical=False)
+    flat = _assign_with_codebook(idx.emb, idx.cent, idx.sup, idx.members,
+                                 hierarchical=False)
+    agree = (idx.assigned.alias("h")
+             .join(flat.alias("f"), "vec_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.when(F.col("h.centroid_id")
+                               == F.col("f.centroid_id"), 1)
+                        .otherwise(0)).alias("same"))
+             .first())
+    if agree["n"] > 0 and agree["same"] / agree["n"] < 0.85:
+        raise AssertionError(
+            f"hierarchical/flat assignment agreement "
+            f"{agree['same']}/{agree['n']} below 0.85")
+    return idx.assigned
+
+
 def ivf_buckets_salted(spark: SparkSession, sf_dir: str,
                        k: int | None = None) -> DataFrame:
     """Hot-bucket mitigation acting on the bucket-stats watchdog: any
     bucket larger than HOT_BUCKET_FACTOR * sqrt(n) is split into
     ceil(size / cap) salted sub-buckets by pmod(xxhash64(vec_id), splits).
     Downstream per-bucket work (pair generation, probe scans) is bounded
-    by the cap regardless of how skewed the k-means partition is."""
+    by the cap regardless of how skewed the k-means partition is. Both the
+    size agg and the salting join read the index's PERSISTED assignment —
+    the mapInPandas scan runs once per index, not once per reference."""
     import math
 
-    emb = _emb(spark, sf_dir)
-    n = emb.count()
-    cap = max(1, int(HOT_BUCKET_FACTOR * math.sqrt(n)))
-    assigned = ivf_assign_production(spark, sf_dir, k=k)
+    idx = index_for(spark, sf_dir, k)
+    cap = max(1, int(HOT_BUCKET_FACTOR * math.sqrt(idx.n)))
+    assigned = idx.assigned
     sizes = assigned.groupBy("centroid_id").agg(
         F.count("*").alias("bucket_size"))
     splits = F.greatest(F.lit(1), F.ceil(F.col("bucket_size") / cap))
@@ -318,20 +394,24 @@ def ivf_buckets_salted(spark: SparkSession, sf_dir: str,
 
 
 def ann_query_multiprobe(spark: SparkSession, sf_dir: str,
-                         probe: int = 3) -> DataFrame:
-    """Query path: each query scores the K centroids (K = sqrt(n), driver-
-    side numpy for the handful of queries), probes its top-`probe` buckets,
-    and ranks only the vectors assigned there — per-query cost
-    O(K + probe * n/K) = O(sqrt(n)) instead of O(n)."""
-    import numpy as np
-    import pandas as pd
+                         probe: int = 8) -> DataFrame:
+    """Query path: each query scores the K trained centroids (driver-side
+    numpy for the handful of queries), probes its top-`probe` buckets, and
+    ranks only the vectors assigned there — per-query cost
+    O(K + probe * n/K) = O(sqrt(n)) instead of O(n). Trains nothing: the
+    codebook and the persisted assignment come from the shared AnnIndex.
 
-    emb = _emb(spark, sf_dir)
-    n = emb.count()
-    k = n_centroids(n)
-    cent = train_centroids(emb, k)
-    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-    qrows = (emb.where(F.col("vec_id") < N_QUERIES)
+    Self-verifying driver entry: asserts mean recall ≥ 0.6 against the
+    exact brute-force top-k at the default probe=8 (the pytest-pinned bar
+    for the structureless i.i.d. worst case), so a green driver row
+    certifies the probe path finds the true neighbors, not just "returned
+    TOP_K rows". Lower probe values (the tests sweep the knob) only check
+    the result is sane (recall > 0)."""
+    import numpy as np
+
+    idx = index_for(spark, sf_dir)
+    cn = idx.cent / np.linalg.norm(idx.cent, axis=1, keepdims=True)
+    qrows = (idx.emb.where(F.col("vec_id") < N_QUERIES)
              .select("vec_id", "embedding").collect())
     probes = []
     for r in qrows:
@@ -341,20 +421,34 @@ def ann_query_multiprobe(spark: SparkSession, sf_dir: str,
             probes.append((int(r["vec_id"]), int(c)))
     probe_df = spark.createDataFrame(probes, "query_id long, centroid_id long")
 
-    assigned = ivf_assign_production(spark, sf_dir, k=k)
-    cand = (assigned.join(F.broadcast(probe_df), "centroid_id")
+    cand = (idx.assigned.join(F.broadcast(probe_df), "centroid_id")
             .where(F.col("query_id") != F.col("vec_id"))
             .select("query_id", F.col("vec_id").alias("neighbor_id")))
-    q = emb.select(F.col("vec_id").alias("query_id"),
-                   F.col("embedding").alias("q"))
-    v = emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("v"))
+    # query vectors: the N_QUERIES rows already on the driver — broadcast
+    # those, not the full embeddings table
+    q = spark.createDataFrame(
+        [(int(r["vec_id"]), list(map(float, r["embedding"])))
+         for r in qrows],
+        "query_id long, q array<double>")
+    v = idx.emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("v"))
     cos = F.round(_dot(F.col("q"), F.col("v"))
                   / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
                                           F.asc("neighbor_id"))
-    return (cand.join(F.broadcast(q), "query_id").join(v, "neighbor_id")
-            .select("query_id", "neighbor_id", cos.alias("cos_sim"))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= TOP_K)
-            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+    result = (cand.join(F.broadcast(q), "query_id").join(v, "neighbor_id")
+              .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+              .withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= TOP_K)
+              .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(spark, sf_dir).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in result.collect()}
+    mean_recall = len(exact & got) / len(exact) if exact else 1.0
+    bar = 0.6 if probe >= 8 else 0.0
+    if exact and (mean_recall < bar or mean_recall == 0.0):
+        raise AssertionError(
+            f"multiprobe recall vs exact top-k too low at probe={probe}: "
+            f"{mean_recall:.2f} (bar {bar})")
+    return result

@@ -27,16 +27,39 @@ def unlinked(media_files: DataFrame, pages: DataFrame) -> DataFrame:
     return media_files.join(linked_refs(pages), "filename", "left_anti")
 
 
-def gc_media_dir(spark, pages: DataFrame, media_dir: str) -> list[str]:
-    """Filesystem flavor: delete unlinked files under ``media_dir``;
-    returns the deleted names (garbagecollect.rs:30-43)."""
+def gc_media_dir(spark, pages: DataFrame, media_dir: str,
+                 return_names: bool = False) -> list[str]:
+    """Filesystem flavor: delete unlinked files under ``media_dir``
+    (garbagecollect.rs:30-43).
+
+    Deletes run EXECUTOR-SIDE via ``foreachPartition`` — the delete set is
+    never collected to the driver, so the 100 TB shape (every worker
+    issuing object-store deletes for its partition of the anti-join) is the
+    code path that runs here too. ``return_names=True`` additionally
+    returns the sorted deleted names (small-scale test/parity contract —
+    the reference returns them, garbagecollect.rs:40); the default returns
+    an empty list without materializing the set on the driver."""
     import os
 
     names = [f for f in os.listdir(media_dir)
              if os.path.isfile(os.path.join(media_dir, f))]
     files_df = spark.createDataFrame([(n,) for n in names] or [],
                                      "filename string")
-    doomed = [r["filename"] for r in unlinked(files_df, pages).collect()]
-    for name in doomed:
-        os.remove(os.path.join(media_dir, name))
-    return sorted(doomed)
+    doomed_df = unlinked(files_df, pages)
+    if return_names:
+        # test/parity flavor: one collect, then executor-style per-name
+        # unlink on the driver (the list is the contract output anyway)
+        doomed = [r["filename"] for r in doomed_df.collect()]
+        for name in doomed:
+            os.remove(os.path.join(media_dir, name))
+        return sorted(doomed)
+
+    def _rm(rows):
+        for r in rows:
+            try:
+                os.remove(os.path.join(media_dir, r["filename"]))
+            except OSError:
+                pass  # already gone — GC is idempotent
+
+    doomed_df.foreachPartition(_rm)
+    return []

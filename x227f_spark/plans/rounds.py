@@ -37,7 +37,7 @@ from pyspark.sql.functions import pandas_udf
 from ..constants import EngineConfig
 from ..model import VIRTUAL_EPOCH
 from ..operators import fetch as fetch_ops
-from ..operators.bloom import anti_join_new, build_bloom
+from ..operators.bloom import anti_join_new, build_bloom, shards_for
 from ..operators.pagerank import pagerank_iterations
 from ..sources.catalog import MergeDelta, StateStore
 from ..functions.urlnorm import (
@@ -72,21 +72,41 @@ SCHEMAS = {
 APPEND_TABLES = {"seen", "trace", "metrics", "media"}
 
 
+import logging
+
+_log = logging.getLogger(__name__)
+
+
 def _obs_get(obs: Observation, defaults: dict) -> dict:
     """Observation.get, tolerant of Catalyst pruning the CollectMetrics
     node: when the observed subtree constant-folds to an empty relation
     (e.g. a filter provably false this round), PropagateEmptyRelation
     deletes the observe node and the finished query reports no metrics —
     which *proves* zero rows flowed, so the caller's zero-valued defaults
-    are exact, not a guess."""
+    are exact, not a guess. Still logged: if the fallback ever fires for a
+    reason OTHER than empty-relation pruning (e.g. the observed write was
+    retried and the metrics stuck to the first execution), the incremental
+    queue stats would drift — the periodic reconciliation in
+    ``CrawlEngine._reconcile_queue_stats`` re-derives them from the
+    committed queue, and this warning is the breadcrumb."""
     from py4j.protocol import Py4JJavaError
     try:
         return obs.get
-    except Py4JJavaError:
+    except Py4JJavaError as e:
+        _log.warning(
+            "Observation metrics unavailable (%s) — using defaults %s; "
+            "periodic queue-stats reconciliation will correct any drift",
+            str(e).splitlines()[0][:120], defaults)
         return defaults
 
 
 class CrawlEngine:
+    # seen-set size below which the Bloom pre-prune is skipped entirely
+    # (the plain anti-join broadcasts and is cheaper); class attribute so
+    # tests can lower it to exercise the bloom/sharded-bloom paths at
+    # sandbox scale
+    BLOOM_MIN_SEEN = 50_000
+
     def __init__(self, spark: SparkSession, corpus_dir: str, state_dir: str,
                  config: EngineConfig | None = None,
                  starting_point: str | None = None):
@@ -449,6 +469,27 @@ class CrawlEngine:
                 self.spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
+        if self.store.round % self.RECONCILE_EVERY == 0:
+            self._reconcile_queue_stats()
+
+    # every this-many rounds, re-derive queue_len/max_pos from the
+    # committed queue table — bounds any drift the incremental
+    # Observation-fed accounting could accumulate (e.g. an observed write
+    # retried after a transient failure keeps the first execution's
+    # metrics). One O(queue) agg job per cadence, amortized noise.
+    RECONCILE_EVERY = 16
+
+    def _reconcile_queue_stats(self) -> None:
+        qrow = self.table("queue").agg(
+            F.count("*").alias("n"), F.max("queue_pos").alias("mx")).first()
+        n = int(qrow["n"])
+        mx = int(qrow["mx"]) if qrow["mx"] is not None else -1
+        if n != self._queue_len or mx != self._max_pos:
+            _log.warning(
+                "queue stats drifted: incremental (len=%d, max_pos=%d) vs "
+                "committed (len=%d, max_pos=%d) — correcting",
+                self._queue_len, self._max_pos, n, mx)
+            self._queue_len, self._max_pos = n, mx
 
     def _drop_round_persists(self) -> None:
         for df in self._round_persists:
@@ -756,10 +797,15 @@ class CrawlEngine:
                  F.lit(0).alias("link_ord"),
                  F.col("redirects_to").alias("target"),
                  F.lit(0.1).alias("weight"))
-        # cut, not persist: links feeds node-id assignment, the edge rebuild
-        # (twice, via seen_new→id_map) and the discovered upsert — the plan
-        # re-reference multiplier lives here
-        links = self._cut(
+        # persist, not cut: links feeds node-id assignment, the edge rebuild
+        # and the discovered upsert, but its whole subtree hangs off the
+        # already-cut `fetched` LogicalRDD, so re-references embed only the
+        # small derivation plan — while an eager localCheckpoint here would
+        # cost a dedicated materialization pass over the round's largest
+        # intermediate (24M rows/round at the 1M-URL design point). The
+        # node-id count job below materializes the cache as a side effect,
+        # so the cache is warm before the commit pool references it.
+        links = self._persist(
             internal_links.unionByName(button_links)
             .unionByName(redirect_links)
             .withColumn("target_pid", page_id_udf(F.col("target"))))
@@ -767,11 +813,18 @@ class CrawlEngine:
         # ---- node-id assignment: deterministic insertion order --------------
         # Bloom pre-prune only pays off once the seen set outgrows a
         # broadcast; below the threshold the plain anti-join is cheaper.
+        # Shard count follows the live seen count (bloom.shards_for): S=1
+        # until a single bitmap would exceed the 256 MB broadcast cap, S≈47
+        # at the 10^10-key design point — the sharded build/probe path
+        # (per-shard broadcasts, shard-partitioned probe) engages
+        # automatically mid-crawl when the threshold is crossed.
         bloom = None
-        if self._seen_count >= 50_000:
+        if self._seen_count >= self.BLOOM_MIN_SEEN:
             bloom = build_bloom(seen, F.col("page_id"),
                                 expected=max(self._seen_count, 16),
-                                fpp=cfg.bloom_fpp)
+                                fpp=cfg.bloom_fpp,
+                                n_shards=shards_for(self._seen_count,
+                                                    cfg.bloom_fpp))
         targets = links.select(F.col("target_pid").alias("page_id"),
                                "crawl_pos", "link_class", "link_ord")
         new_pids = anti_join_new(targets, "page_id", seen, "page_id", bloom)
@@ -797,7 +850,13 @@ class CrawlEngine:
                 .select("page_id", "node_id",
                         F.lit(r).alias("first_seen_round"))
             )
-            seen_all = self._persist(seen.unionByName(seen_new))
+            # deliberately NOT persisted: seen_all is referenced only by the
+            # commit-pool write jobs (edges + discovered deltas), and a lazy
+            # shared cache materialized by two concurrent writes is exactly
+            # the AQE poisoned-cache race the pool must avoid. The re-read
+            # is a parquet scan + union with an in-memory LogicalRDD —
+            # cheaper than a cache write of the crawl's largest table.
+            seen_all = seen.unionByName(seen_new)
         self._seen_count += n_new
 
         # ---- edges: replace-on-recrawl (canonical rebuild semantics) --------
@@ -823,10 +882,17 @@ class CrawlEngine:
         # ---- discovered upsert (end-of-round pages view) ---------------------
         # end-of-round page ids = previous pages ∪ every touched id (all
         # touched ids end up in pages: update/insert/stub), cheaper than
-        # re-reading the merged pages view
-        eor = pages.select("page_id").unionByName(touched).distinct()
+        # re-reading the merged pages view. Two chained anti-joins, NOT a
+        # union+distinct: anti(A ∪ B) ≡ anti(A) then anti(B), an anti-join
+        # needs no deduplicated right side, and the old distinct() was a
+        # full O(pages) shuffle every round; `touched` is batch-sized so
+        # its anti-join broadcasts.
         disc_cand = (links_ids
-                     .join(eor.withColumnRenamed("page_id", "target_pid"),
+                     .join(pages.select(
+                               F.col("page_id").alias("target_pid")),
+                           "target_pid", "left_anti")
+                     .join(F.broadcast(touched.select(
+                               F.col("page_id").alias("target_pid"))),
                            "target_pid", "left_anti"))
         w_last = W.partitionBy("dst").orderBy(
             F.desc("crawl_pos"), F.desc("link_class"), F.desc("link_ord"))

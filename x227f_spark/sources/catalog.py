@@ -65,6 +65,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def commit_write_threads() -> int:
+    """Bounded commit-write pool size (see the concurrency note in
+    ``StateStore.commit``). Read per-commit so tests/benches can flip it."""
+    return int(os.environ.get("X227F_COMMIT_WRITE_THREADS", "4"))
+
+
 def _dir_bytes(path: str) -> int:
     """Total bytes under a version dir (driver-side fs metadata; a version
     dir holds at most ~defaultParallelism files)."""
@@ -258,19 +264,23 @@ class StateStore:
             except Exception as e:
                 return (job, e)
 
-        # Writes run STRICTLY SERIALLY. Concurrent table writes (the pool
-        # rounds 1-2 used) race on shared lazily-cached subplans in local
-        # mode: two queries materialize the same InMemoryRelation/exchange
-        # under AQE with different coalesced partition counts, and once the
-        # poisoned cache exists EVERY re-execution in the session fails
-        # ("Can't zip RDDs with unequal numbers of partitions" — observed
-        # deterministically at 1M-row commits, healed only by a fresh
-        # session). Serial writes materialize shared caches exactly once,
-        # and each big write saturates the executor cores with its own
-        # tasks anyway. On a real deployment each table write is its own
-        # job against the catalog (Iceberg commit) and the race does not
-        # exist. A transient failure is still retried once.
-        n_workers = int(os.environ.get("X227F_COMMIT_WRITE_THREADS", "1"))
+        # Write concurrency: a BOUNDED pool, safe only because every input
+        # the staged tables share is materialized before the pool starts.
+        # The round-2 race — two concurrent writes materializing the same
+        # lazily-cached subplan under AQE with different coalesced partition
+        # counts, poisoning the cache for the whole session ("Can't zip RDDs
+        # with unequal numbers of partitions", deterministic at 1M-row
+        # commits) — cannot fire when shared subtrees are already
+        # LogicalRDDs (localCheckpoint) or materialized InMemoryRelations;
+        # CrawlEngine eagerly materializes the one remaining lazy shared
+        # cache (seen_all) before commit when the pool is enabled. Folds
+        # and compactions below stay strictly serial and read only
+        # committed parquet. On a real deployment each table write is its
+        # own job against the catalog (Iceberg commit) and the race does
+        # not exist at all. A transient failure is still retried once,
+        # serially. Set X227F_COMMIT_WRITE_THREADS=1 to restore the fully
+        # serial round-3 behavior.
+        n_workers = commit_write_threads()
         if n_workers > 1:
             with ThreadPoolExecutor(max_workers=n_workers) as ex:
                 failures = [f for f in ex.map(_try_write, jobs)
@@ -363,7 +373,23 @@ class StateStore:
         self.round = round_no
         self.stats = ck["stats"]
 
-    def _merge_view(self, name: str, ent: dict) -> DataFrame:
+    def _read_parquet(self, path: str, schema: str | None,
+                      with_ts: bool = False) -> DataFrame:
+        """Parquet read with an optional known schema — a caller-supplied
+        schema (the engine passes its SCHEMAS entry) skips the per-read
+        footer-inference round trip, which is pure driver/control-plane
+        latency repeated for every table view every round."""
+        r = self.spark.read
+        if schema is not None:
+            from pyspark.sql.types import BooleanType, StructType
+            st = StructType.fromDDL(schema)
+            if with_ts:
+                st = st.add("_ts", BooleanType())
+            r = r.schema(st)
+        return r.parquet(path)
+
+    def _merge_view(self, name: str, ent: dict,
+                    schema: str | None = None) -> DataFrame:
         """Merged (current) view of a merge-on-read table: base with each
         delta's key groups replaced, oldest delta first. The per-delta key
         sets are batch-sized parquet reads with size stats, so Catalyst
@@ -373,10 +399,11 @@ class StateStore:
         the Bloom pre-filter in operators/bloom.py is the documented
         escape hatch."""
         keys = ent["keys"]
-        cur = (self.spark.read.parquet(self._table_path(name, ent["base"]))
+        cur = (self._read_parquet(self._table_path(name, ent["base"]), schema)
                if ent["base"] is not None else None)
         for v in ent["deltas"]:
-            d = self.spark.read.parquet(self._table_path(name, v))
+            d = self._read_parquet(self._table_path(name, v), schema,
+                                   with_ts=True)
             rows = d.where(~F.col("_ts")).drop("_ts")
             if cur is None:
                 cur = rows
@@ -412,18 +439,22 @@ class StateStore:
 
     def read(self, name: str, schema: str | None = None) -> DataFrame:
         """Committed view of a table; empty DF (with ``schema``) when the
-        table has never been committed."""
+        table has never been committed. A supplied ``schema`` also skips
+        parquet footer inference on every read (see ``_read_parquet``)."""
         if name in self._merge:
             ent = self._merge[name]
             if ent["base"] is not None or ent["deltas"]:
-                return self._merge_view(name, ent)
+                return self._merge_view(name, ent, schema)
         paths = []
         if name in self._cow:
             paths.append(self._table_path(name, self._cow[name]))
         for v in self._append.get(name, []):
             paths.append(self._table_path(name, v))
         if paths:
-            return self.spark.read.parquet(*paths)
+            r = self.spark.read
+            if schema is not None:
+                r = r.schema(schema)
+            return r.parquet(*paths)
         if schema is None:
             raise KeyError(f"table {name} not committed and no schema given")
         return self.spark.createDataFrame([], schema)
