@@ -54,8 +54,13 @@ per_round = []
 for _ in range(rounds):
     t0 = time.monotonic()
     m = eng.run_round()
+    # 1-min load average at round end: a pinned leg can only generate
+    # ~`cores` of load itself, so load1 >> cores flags external contention
+    # (the failure mode that corrupted earlier unattended runs) right in
+    # the evidence file instead of leaving it to post-hoc guesswork
     per_round.append({{"sec": round(time.monotonic() - t0, 2),
                       "fetched": m["fetched"] + m["failed"],
+                      "load1": round(os.getloadavg()[0], 2),
                       "timing": m.get("timing", {{}})}})
     print(f"  [{{cores}}c] round {{m['round']}}: {{per_round[-1]}}", file=sys.stderr)
 shutil.rmtree(state, ignore_errors=True)
@@ -73,9 +78,26 @@ def _pin(cores: int) -> list[str]:
     return []
 
 
+def wait_for_idle(max_load: float = 4.0, timeout: int = 300) -> float:
+    """Block until the machine's 1-min load average drops below
+    ``max_load`` (or ``timeout`` elapses). A leg started while another
+    heavy job is draining measures that job, not the engine — the same
+    lesson bench.py's BENCH_IDLE_WAIT encodes."""
+    import time
+    deadline = time.monotonic() + timeout
+    load = os.getloadavg()[0]
+    while load > max_load and time.monotonic() < deadline:
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return load
+
+
 def run_level(cores: int, corpus_dir: str, seed: str, rounds: int,
               cap: int, recrawl_hours: int, round_seconds: int,
               timeout: int = 3600) -> list[dict]:
+    load = wait_for_idle()
+    sys.stderr.write(f"[bench_scaling] starting local[{cores}] leg at "
+                     f"load1={load:.2f}\n")
     script = RUNNER.format(repo=REPO)
     env = dict(os.environ)
     out = subprocess.run(
@@ -287,6 +309,13 @@ best-of-reps after warm-up:
                f"control-plane floor, which amortizes at production round "
                f"sizes\n(millions of URLs/round at the 10^10-frontier "
                f"design point).\n")
+    # hand-maintained analysis (gate status, round-over-round narrative)
+    # lives in BENCH/NOTES.md so regenerating the measured sections above
+    # doesn't erase it
+    notes = os.path.join(REPO, "BENCH", "NOTES.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            md += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
 

@@ -304,19 +304,38 @@ class StateStore:
             for job in late_jobs:
                 _write(job)
 
-        # ---- compaction of accumulated append deltas ----------------------
+        # ---- compactions + LSM folds -------------------------------------
+        # Unlike the staged-table writes above, every job below reads ONLY
+        # committed parquet files of its own table — no two tables share any
+        # subplan (cached or otherwise), so the AQE poisoned-cache race that
+        # forces care with the staged writes cannot exist here and the jobs
+        # run through the same bounded pool unconditionally. This is where
+        # the serial round-3 commit path left parallelism on the floor: an
+        # extreme-churn round folds all five merge tables back-to-back, and
+        # each fold alone is a small job that nowhere near saturates the
+        # executor slots.
+        fold_jobs = []  # (fn) -> applied serially after the parallel writes
+
         for name, versions in list(new_append.items()):
             if len(versions) < self.COMPACT_AT:
                 continue
-            merged = self.spark.read.parquet(
-                *[self._table_path(name, v) for v in versions])
-            v = max(versions) + 1
-            self._spread(name, merged).write.mode("overwrite").parquet(
-                self._table_path(name, v))
-            doomed_deltas.extend(self._table_path(name, x) for x in versions)
-            new_append[name] = [v]
 
-        # ---- merge-table size bookkeeping + LSM fold ----------------------
+            def _compact(name=name, versions=versions):
+                merged = self.spark.read.parquet(
+                    *[self._table_path(name, v) for v in versions])
+                v = max(versions) + 1
+                self._spread(name, merged).write.mode("overwrite").parquet(
+                    self._table_path(name, v))
+
+                def apply():
+                    doomed_deltas.extend(self._table_path(name, x)
+                                         for x in versions)
+                    new_append[name] = [v]
+                return apply
+            fold_jobs.append(_compact)
+
+        # merge-table size bookkeeping (driver-side fs metadata, delta dirs
+        # only — a handful of files each)
         for name, v in delta_written:
             b = _dir_bytes(self._table_path(name, v))
             new_merge[name]["delta_bytes"].append(b)
@@ -339,18 +358,37 @@ class StateStore:
                     or len(ent["deltas"]) >= self.MERGE_STACK_MAX
                     or dsum >= 0.5 * ent.get("base_bytes", 0)):
                 continue
-            merged = self._merge_view(name, ent)
-            v = _next_v(name)
-            self._spread(name, merged).write.mode("overwrite").parquet(
-                self._table_path(name, v))
-            if ent["base"] is not None:
-                doomed_deltas.append(self._table_path(name, ent["base"]))
-            doomed_deltas.extend(self._table_path(name, x)
-                                 for x in ent["deltas"])
-            new_merge[name] = {
-                "base": v, "deltas": [], "keys": list(ent["keys"]),
-                "base_bytes": _dir_bytes(self._table_path(name, v)),
-                "delta_bytes": [], "last_bytes": ent.get("last_bytes", 0)}
+
+            def _fold(name=name, ent=ent):
+                merged = self._merge_view(name, ent)
+                v = _next_v(name)
+                self._spread(name, merged).write.mode("overwrite").parquet(
+                    self._table_path(name, v))
+
+                def apply():
+                    if ent["base"] is not None:
+                        doomed_deltas.append(
+                            self._table_path(name, ent["base"]))
+                    doomed_deltas.extend(self._table_path(name, x)
+                                         for x in ent["deltas"])
+                    new_merge[name] = {
+                        "base": v, "deltas": [], "keys": list(ent["keys"]),
+                        "base_bytes": _dir_bytes(self._table_path(name, v)),
+                        "delta_bytes": [],
+                        "last_bytes": ent.get("last_bytes", 0)}
+                return apply
+            fold_jobs.append(_fold)
+
+        if fold_jobs:
+            if n_workers > 1 and len(fold_jobs) > 1:
+                with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                    appliers = list(ex.map(lambda fn: fn(), fold_jobs))
+            else:
+                appliers = [fn() for fn in fold_jobs]
+            # metadata mutations (new_append/new_merge/doomed_deltas) stay
+            # single-threaded: each job returns an applier closure run here
+            for apply in appliers:
+                apply()
 
         # stats may be a callable evaluated *after* late_append — lets the
         # caller fold Observation results from the staged writes (queue
