@@ -173,6 +173,10 @@ class EngineConfig:
     # force a JVM GC every K committed rounds so the ContextCleaner reclaims
     # shuffle files / checkpoint blocks promptly (see rounds._finish_round)
     gc_every_rounds: int = 4
+    # rounds that admit at least this many URLs force a GC every round:
+    # batching several big rounds' litter into one collection makes the
+    # async ContextCleaner compete with the following round's jobs
+    gc_big_round_urls: int = 200_000
     robots: tuple["RobotsRule", ...] = ()
 
     def _robots_rule(self, host: str) -> "RobotsRule | None":

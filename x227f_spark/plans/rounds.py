@@ -115,6 +115,7 @@ class CrawlEngine:
         if starting_point is not None:
             self.cfg = replace(self.cfg, starting_point=starting_point)
         self.store = StateStore(spark, state_dir)
+        self._last_round_big = False
 
         http = spark.read.parquet(f"{corpus_dir}/http.parquet")
         docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
@@ -376,6 +377,7 @@ class CrawlEngine:
             (F.col("gr") - 1).cast("long").alias("crawl_pos"),
         ))
         n_selected = min(sel_total, cfg.fetch_cap)
+        self._last_round_big = n_selected >= cfg.gc_big_round_urls
         # queue merge delta (O(batch)): tombstones for the scheduled rows,
         # upserts for the new entries minus those scheduled this same round.
         # The Observation maintains the driver-side queue length / max
@@ -464,7 +466,17 @@ class CrawlEngine:
         # under steady allocation may not GC for many rounds — scratch-dir
         # growth then bleeds into round latency (observed: reps degrading
         # 160→225 s before this). One forced GC every few rounds bounds it.
-        if self.store.round % self.cfg.gc_every_rounds == 0:
+        # In big-round regimes the every-N cadence is too coarse: one GC
+        # then releases N rounds of shuffle/broadcast litter in a single
+        # batch, and the asynchronous ContextCleaner competes with the
+        # *next* round's jobs for cores (observed as a 60-80 s spike
+        # spread nonspecifically across that round's stages in the r4
+        # scaling legs). A round that admitted >= gc_big_round_urls
+        # therefore collects every round — litter stays small and the
+        # cleanup cost is spread evenly — while small-round runs keep the
+        # cheap periodic cadence.
+        if (self.store.round % self.cfg.gc_every_rounds == 0
+                or self._last_round_big):
             try:
                 self.spark.sparkContext._jvm.System.gc()
             except Exception:
