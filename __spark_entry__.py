@@ -84,35 +84,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_features": multimodal.decode_features,
         "mm_frame_sample": multimodal.frame_sample,
         # ---- rows-only block (may spill past the driver's 50-query cap) ----
-        # Production ANN (sampled k-means + two-level coarse quantizer +
-        # multi-probe + hot-bucket salting): k-means output is not
-        # SQL-expressible — rows-only entries that SELF-ASSERT their
-        # invariants (agreement with flat argmax / recall vs exact top-k)
-        # and raise on a break, so the driver row is meaningful without a
+        # Rotated per round (see _rotate_tail) so the 2 entries the cap
+        # drops differ every round — the union of any few consecutive
+        # rounds covers the full set. Production ANN (sampled k-means +
+        # two-level coarse quantizer + multi-probe + hot-bucket salting):
+        # k-means output is not SQL-expressible — rows-only entries that
+        # SELF-ASSERT their invariants (agreement with flat argmax /
+        # recall vs exact top-k; verify=True is the contract mode — the
+        # production default runs zero exact scans and zero collects) and
+        # raise on a break, so the driver row is meaningful without a
         # DuckDB oracle; also pytest-verified (tests/test_ann.py).
-        "ann_ivf_assign_prod": similarity.ivf_assign_production,
-        "ann_multiprobe_topk": similarity.ann_query_multiprobe,
-        # UDF-shaped crawl operators (operators/contract.py). U1-U5, E1-E3,
-        # T5/P8, X2/X3 are pure-Python URL/byte logic with no faithful
-        # ANSI-SQL twin → rows-only driver check by design (SURVEY.md §5.6).
-        "u1_page_id": contract.u1_page_id,
-        "u2_clean_page_url": contract.u2_clean_page_url,
-        "u3_image_url_clean": contract.u3_image_url_clean,
-        "u4_image_url_bypass": contract.u4_image_url_bypass,
-        "u5_url_join": contract.u5_url_join,
-        "e1_span_extract": contract.e1_span_extract,
-        "e2_anchor_match": contract.e2_anchor_match,
-        "e3_link_truncate": contract.e3_link_truncate,
-        "t5_candidate_rotation": contract.t5_candidate_rotation,
-        "p8_budget_pass": contract.p8_budget_pass,
-        # Past-the-cap spill (driver runs first 50; these 3 carry the
-        # strongest standalone pytest evidence): x2 pixels-equal invariant in
-        # test_fiximages, x3 unit-tested sniffer, salted-bucket bound check
-        # in test_ann.
-        "x2_png_reencode": contract.x2_png_reencode,
-        "x3_format_sniff": contract.x3_format_sniff,
-        "ann_buckets_salted": similarity.ivf_buckets_salted,
+        **_rotate_tail({
+            "ann_ivf_assign_prod":
+                lambda s, d: similarity.ivf_assign_production(
+                    s, d, verify=True),
+            "ann_multiprobe_topk":
+                lambda s, d: similarity.ann_query_multiprobe(
+                    s, d, verify=True),
+            # UDF-shaped crawl operators (operators/contract.py). U1-U5,
+            # E1-E3, T5/P8, X2/X3 are pure-Python URL/byte logic with no
+            # faithful ANSI-SQL twin → rows-only driver check by design
+            # (SURVEY.md §5.6). X2+X3 share one merged entry
+            # (contract.x2x3_image_bytes) to relieve cap pressure.
+            "u1_page_id": contract.u1_page_id,
+            "u2_clean_page_url": contract.u2_clean_page_url,
+            "u3_image_url_clean": contract.u3_image_url_clean,
+            "u4_image_url_bypass": contract.u4_image_url_bypass,
+            "u5_url_join": contract.u5_url_join,
+            "e1_span_extract": contract.e1_span_extract,
+            "e2_anchor_match": contract.e2_anchor_match,
+            "e3_link_truncate": contract.e3_link_truncate,
+            "t5_candidate_rotation": contract.t5_candidate_rotation,
+            "p8_budget_pass": contract.p8_budget_pass,
+            "x2x3_image_bytes": contract.x2x3_image_bytes,
+            "ann_buckets_salted": similarity.ivf_buckets_salted,
+        }),
     }
+
+
+def _rotate_tail(tail: dict) -> dict:
+    """Round-keyed rotation of the rows-only tail: the driver caps its run
+    at the first 50 queries() entries, which drops the LAST len(queries)-50
+    rows-only entries. Rotating the tail's order by the number of recorded
+    correctness rounds (CORRECTNESS_r*.json files in the repo root — a
+    deterministic, driver-maintained round counter) shifts which entries
+    spill each round, so every rows-only operator gets periodic driver
+    evidence. The oracle-backed prefix above is NOT rotated — the
+    check_oracles.py prefix invariant (every oracle-backed entry inside the
+    cap) holds for any rotation."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    k = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    names = list(tail)
+    k %= len(names)
+    return {n: tail[n] for n in names[k:] + names[:k]}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -70,6 +70,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _prune_scratch() -> None:
+    """Remove scratch left under _data/ by crashed or killed runs (state
+    tempdirs are rmtree'd on success, but an interrupted leg leaks its
+    dir). Named ``bench_corpus_*`` dirs are the cached deterministic
+    corpora and are kept — everything else under _data/ is disposable."""
+    import shutil
+
+    data = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_data")
+    if not os.path.isdir(data):
+        return
+    for entry in os.listdir(data):
+        if not entry.startswith("bench_corpus_"):
+            shutil.rmtree(os.path.join(data, entry), ignore_errors=True)
+
+
 def _bench_corpus_dir() -> str:
     from x227f_spark.sources.corpus import generate, write_parquet
 
@@ -161,6 +176,7 @@ def main():
 
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "_data"), exist_ok=True)
+    _prune_scratch()
     spark = get_spark(cores=cpus, app_name="x227f_bench")
 
     t0 = time.monotonic()

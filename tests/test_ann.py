@@ -68,6 +68,33 @@ def test_multiprobe_recall_vs_bruteforce(spark):
     assert r8 > r3, f"probe knob must buy recall: {r3} -> {r8}"
 
 
+def test_verify_mode_checks_and_matches_production(spark, monkeypatch):
+    """verify=True (the contract/driver-entry mode) runs the sampled
+    recall/agreement checks and returns the same rows as the production
+    path; verify=False (production default) never touches the exact
+    brute-force scan at all."""
+    prod = sorted(tuple(r) for r in
+                  S.ann_query_multiprobe(spark, SF_DIR).collect())
+    checked = sorted(tuple(r) for r in
+                     S.ann_query_multiprobe(spark, SF_DIR,
+                                            verify=True).collect())
+    assert prod == checked
+    a_prod = sorted((r["vec_id"], r["centroid_id"]) for r in
+                    S.ivf_assign_production(spark, SF_DIR).collect())
+    a_chk = sorted((r["vec_id"], r["centroid_id"]) for r in
+                   S.ivf_assign_production(spark, SF_DIR,
+                                           verify=True).collect())
+    assert a_prod == a_chk
+
+    def boom(*a, **kw):  # the exact scan must be unreachable in production
+        raise AssertionError("production path ran the exact top-k scan")
+
+    monkeypatch.setattr(S, "cosine_topk", boom)
+    S.ann_query_multiprobe(spark, SF_DIR).collect()
+    with pytest.raises(AssertionError, match="exact top-k"):
+        S.ann_query_multiprobe(spark, SF_DIR, verify=True).collect()
+
+
 def test_index_builds_once_queries_many(spark, monkeypatch):
     """The persisted AnnIndex is the deployment shape: two multiprobe
     queries plus a salted-buckets call over the same (session, sf_dir)

@@ -120,20 +120,52 @@ def test_sharded_bloom_engages_mid_crawl_with_parity(
 
     cfg = EngineConfig(starting_point=corpus.seed_url, fetch_cap=50)
     monkeypatch.setattr(R.CrawlEngine, "BLOOM_MIN_SEEN", 0)
-    monkeypatch.setattr(B, "SHARD_BYTES_MAX", 30)
+    monkeypatch.setattr(B, "SHARD_BYTES_MAX", 50)
 
-    shard_counts = []
-    orig = B.build_bloom
-
-    def spy(df, key, expected, fpp=0.01, n_shards=1):
-        shard_counts.append(n_shards)
-        return orig(df, key, expected, fpp, n_shards)
-
-    monkeypatch.setattr(R, "build_bloom", spy)
     eng = R.CrawlEngine(spark, corpus_dir, str(tmp_path / "st"), config=cfg)
-    eng.run(5)
+    shard_counts = []
+    for _ in range(5):
+        eng.run_round()
+        shard_counts.append(eng._ibloom._n_shards)
     golden = GoldenModel(corpus, cfg)
     golden.run(5)
     assert eng.seen_set() == golden.seen_set()
     assert shard_counts and max(shard_counts) > 1, shard_counts
-    assert min(shard_counts) == 1, shard_counts  # started single-shard
+    assert shard_counts[0] == 1, shard_counts  # started single-shard
+
+
+def test_incremental_bloom_no_false_negatives_across_updates(spark):
+    """IncrementalBloom's contract: after any sequence of delta updates /
+    capacity rebuilds, EVERY committed key probes positive (false
+    negatives would silently re-admit seen pages; false positives only
+    cost an exact-join probe). Also pins the O(batch) fast paths: a
+    no-growth update is job-free (same filter object), an under-capacity
+    update scans only rows newer than the last fold."""
+    from x227f_spark.operators.bloom import IncrementalBloom
+
+    def seen_df(lo, hi, rnd):
+        return spark.createDataFrame(
+            [(f"page{i}", i, rnd) for i in range(lo, hi)],
+            "page_id string, node_id long, first_seen_round int")
+
+    inc = IncrementalBloom(fpp=0.01, min_seen=0)
+    s1 = seen_df(0, 500, 1)
+    f1 = inc.update(s1, "page_id", 500, 1)
+    assert f1.might_contain(s1, F.col("page_id")) \
+        .where(~F.col("_bloom_hit")).count() == 0
+
+    # incremental delta (under capacity=1000): only round-2 rows scanned
+    s2 = s1.union(seen_df(500, 600, 2))
+    f2 = inc.update(s2, "page_id", 600, 2)
+    assert f2.might_contain(s2, F.col("page_id")) \
+        .where(~F.col("_bloom_hit")).count() == 0
+
+    # no growth → the exact same filter object, no Spark job
+    assert inc.update(s2, "page_id", 600, 3) is f2
+
+    # capacity crossing → full rebuild, still no false negatives
+    s3 = s2.union(seen_df(600, 3000, 4))
+    f3 = inc.update(s3, "page_id", 3000, 4)
+    assert inc._capacity >= 6000
+    assert f3.might_contain(s3, F.col("page_id")) \
+        .where(~F.col("_bloom_hit")).count() == 0

@@ -86,3 +86,54 @@ def test_mixed_mode_checkpoint_fails_loudly(spark, tmp_path):
         json.dump(ck, f)
     with pytest.raises(ValueError, match="both cow and merge"):
         StateStore(spark, root)
+
+
+def test_fold_pool_rejects_same_table_in_two_jobs(spark, tmp_path):
+    """The parallel fold pool's safety argument is per-table version
+    allocation — two concurrent jobs for ONE table would race the version
+    scan. The engine never schedules that (append and merge tables are
+    disjoint), but the store itself doesn't forbid committing one name in
+    both modes; the round whose compaction AND fold both target it must
+    fail loudly instead of racing."""
+    store = StateStore(spark, str(tmp_path / "stf"))
+
+    def df(r):
+        return spark.createDataFrame([(r, f"k{r}")], "round int, key string")
+
+    with pytest.raises(AssertionError, match="unique table names"):
+        # merge deltas fold every round here (delta size ≈ base size), so
+        # the commit that crosses COMPACT_AT appends schedules both jobs
+        for r in range(1, StateStore.COMPACT_AT + 2):
+            store.commit(r, {}, {"t": df(r)},
+                         merge={"t": MergeDelta(df(r), ["key"])})
+
+
+def test_commit_falls_back_to_serial_on_unmaterialized_cache(
+        spark, tmp_path, caplog):
+    """The bounded write pool requires every shared staged input to be
+    materialized; a staged plan still referencing a lazy cache must drop
+    the commit to serial writes (enforced, not comment discipline) and
+    still commit correctly."""
+    import logging
+
+    store = StateStore(spark, str(tmp_path / "stc"))
+    base = spark.range(100).selectExpr("id as k", "id * 2 as v").persist()
+    try:
+        a = base.where("k % 2 = 0")
+        b = base.where("k % 2 = 1")
+        with caplog.at_level(logging.WARNING,
+                             logger="x227f_spark.sources.catalog"):
+            store.commit(1, {"a": a, "b": b})
+        assert any("unmaterialized cache" in r.message
+                   for r in caplog.records)
+        assert store.read("a").count() + store.read("b").count() == 100
+        # once the cache is materialized the pool-safe check passes silently
+        base.count()
+        caplog.clear()
+        with caplog.at_level(logging.WARNING,
+                             logger="x227f_spark.sources.catalog"):
+            store.commit(2, {"a2": a})
+        assert not any("unmaterialized cache" in r.message
+                       for r in caplog.records)
+    finally:
+        base.unpersist()

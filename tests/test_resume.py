@@ -54,3 +54,34 @@ def test_partition_invariance(spark, corpus_dir, cfg, tmp_path_factory,
         assert eng.page_spans() == baseline.page_spans()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_reconcile_keeps_max_pos_monotone(spark, corpus_dir, cfg,
+                                          tmp_path_factory):
+    """_max_pos's contract is "max position ever assigned" — when the
+    highest-position queue row has been consumed, the committed queue's
+    max(queue_pos) is LOWER than the true high-water mark, and
+    reconciliation must NOT regress to it (reused positions would break
+    uniqueness over crawl history). queue_len, by contrast, is re-derived
+    from the committed table."""
+    eng = CrawlEngine(spark, corpus_dir,
+                      str(tmp_path_factory.mktemp("rq")), config=cfg)
+    eng.run_round()
+    eng.run_round()
+    hwm = eng._max_pos
+    assert hwm >= 0
+    # simulate drift: an over-counted queue_len gets corrected; a committed
+    # max below the high-water mark does not drag _max_pos down
+    eng._queue_len += 7
+    eng._reconcile_queue_stats()
+    qn = eng.table("queue").count()
+    assert eng._queue_len == qn
+    assert eng._max_pos == hwm
+    # an UNDER-counted _max_pos (lost Observation) is repaired upward to
+    # at least the committed maximum
+    from pyspark.sql import functions as F
+    row = eng.table("queue").agg(F.max("queue_pos").alias("mx")).first()
+    committed_mx = row["mx"] if row["mx"] is not None else -1
+    eng._max_pos = -1
+    eng._reconcile_queue_stats()
+    assert eng._max_pos == committed_mx

@@ -22,6 +22,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 RUNNER = r"""
 import json, os, shutil, sys, tempfile, time
@@ -119,6 +120,12 @@ def main():
     ap.add_argument("--rounds", type=int, default=7)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--levels", type=str, default="4,16")
+    ap.add_argument("--order", type=str, default=None,
+                    help="comma list of core counts to run as consecutive "
+                         "legs, e.g. '16,4,16' — interleaving the levels in "
+                         "time so shared-host drift cancels in the ratio "
+                         "instead of biasing one side; every leg is "
+                         "retained, best+median per level are reported")
     ap.add_argument("--recrawl-hours", type=int, default=-1,
                     help="-1 = reference default (no recrawl in bench "
                          "horizon); >=0 = recrawl mode for sustained "
@@ -137,39 +144,37 @@ def main():
     bench.CRAWL_HOSTS = args.hosts
     bench.CRAWL_PAGES_PER_HOST = args.pph
     bench.CRAWL_FANOUT = args.fanout
+    bench._prune_scratch()  # clear state dirs leaked by interrupted legs
     corpus_dir, seed = bench._bench_corpus_dir()
 
+    from scaling_report import leg_stats, recompute
+
     lo, hi = (int(x) for x in args.levels.split(","))
-    results = {}
-    for cores in (lo, hi):
+    order = [int(x) for x in args.order.split(",")] if args.order \
+        else [lo, hi]
+    legs_dir = os.path.join(REPO, "BENCH", "legs")
+    os.makedirs(legs_dir, exist_ok=True)
+    levels: dict[int, dict] = {}
+    for i, cores in enumerate(order):
         rows = run_level(cores, corpus_dir, seed, args.rounds, args.cap,
                          args.recrawl_hours, args.round_seconds,
                          timeout=args.timeout)
-        steady = rows[args.warmup:]
-        fetched = sum(r["fetched"] for r in rows)
-        wall = sum(r["sec"] for r in rows)
-        s_fetched = sum(r["fetched"] for r in steady)
-        s_wall = sum(r["sec"] for r in steady)
-        stages = {}
-        for key in ("rank", "sched", "fetch", "plan", "write"):
-            vals = [r["timing"].get(key, 0.0) for r in steady if r.get("timing")]
-            if vals:
-                stages[key] = round(sum(vals) / len(vals), 2)
-        results[cores] = {
-            "rounds": rows,
-            "urls_per_sec_full": round(fetched / wall, 2),
-            "urls_per_sec_steady": round(s_fetched / s_wall, 2) if s_wall else 0,
-            "fetched": fetched,
-            "steady_stage_avg_sec": stages,
-        }
-        print(f"local[{cores}]: full={results[cores]['urls_per_sec_full']} "
-              f"steady={results[cores]['urls_per_sec_steady']} urls/s")
-
-    ratio = hi / lo
-    eff_full = results[hi]["urls_per_sec_full"] / \
-        results[lo]["urls_per_sec_full"] / ratio
-    eff_steady = results[hi]["urls_per_sec_steady"] / \
-        results[lo]["urls_per_sec_steady"] / ratio
+        # persist each raw leg immediately — a crashed later leg must not
+        # lose measured evidence
+        with open(os.path.join(legs_dir,
+                               f"leg{i}_{cores}c.json"), "w") as f:
+            json.dump(rows, f)
+        st = leg_stats(rows, args.warmup)
+        lv = levels.setdefault(cores, {
+            "all_runs": [], "all_runs_steady_urls_per_sec": [],
+            "all_runs_rounds": [], "urls_per_sec_steady": -1.0})
+        lv["all_runs"].append([r["sec"] for r in rows])
+        lv["all_runs_steady_urls_per_sec"].append(st["urls_per_sec_steady"])
+        lv["all_runs_rounds"].append(rows)
+        if st["urls_per_sec_steady"] > lv["urls_per_sec_steady"]:
+            lv.update(st)
+        print(f"leg {i} local[{cores}]: full={st['urls_per_sec_full']} "
+              f"steady={st['urls_per_sec_steady']} urls/s")
 
     out = {
         "input": {"hosts": args.hosts, "pages_per_host": args.pph,
@@ -177,15 +182,19 @@ def main():
                   "warmup_excluded": args.warmup,
                   "recrawl_hours": args.recrawl_hours,
                   "round_seconds": args.round_seconds,
-                  "fanout": args.fanout},
-        "levels": {str(k): v for k, v in results.items()},
-        "scaling_efficiency_full": round(eff_full, 3),
-        "scaling_efficiency_steady": round(eff_steady, 3),
+                  "fanout": args.fanout,
+                  "leg_order": order},
+        "levels": {str(k): v for k, v in levels.items()},
     }
+    recompute(out)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps(out))
+    print(json.dumps({
+        "efficiency_steady": out["scaling_efficiency_steady"],
+        "efficiency_steady_median_leg":
+            out["scaling_efficiency_steady_median_leg"],
+        "efficiency_full": out["scaling_efficiency_full"]}))
     _write_md(out, lo, hi)
 
 
@@ -224,8 +233,21 @@ frontier ramps multiplicatively instead).
 
 Scaling efficiency (throughput@{hi} / throughput@{lo}) / {hi // lo}:
 **{out['scaling_efficiency_full']}** full-run,
-**{out['scaling_efficiency_steady']}** steady-state.
-
+**{out['scaling_efficiency_steady']}** steady-state (best leg per level).
+"""
+    if "scaling_efficiency_steady_median_leg" in out:
+        md += (f"Matched-percentile (median leg per level) steady "
+               f"efficiency: "
+               f"**{out['scaling_efficiency_steady_median_leg']}** — "
+               f"cancels a lucky\ndraw on either side of the best-leg "
+               f"estimator.\n\nPer-level steady-throughput spread across "
+               f"legs (urls/s):\n\n")
+        for k in sorted(out["levels"], key=int):
+            sp = out["levels"][k].get("steady_spread")
+            if sp:
+                md += (f"- local[{k}]: n={sp['n_legs']} min={sp['min']} "
+                       f"median={sp['median']} max={sp['max']}\n")
+    md += f"""
 Reference context: the Rust crawler's sustained ceiling is ~6.7 URLs/s
 (100 slots x >=1 s/host politeness, network-bound — BASELINE.md); the
 engine's corpus-backed throughput is bounded by compute + per-round

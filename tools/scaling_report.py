@@ -6,20 +6,29 @@ per-core speed fluctuates run-to-run (pinned CPU microbenchmark: ±13%
 mean drift, worst-task stragglers up to +40% — see BENCH/NOTES.md).
 Contention noise is strictly additive — an interfered round can only be
 slower than the engine's true cost — so the *fastest* measured leg per
-level is the least-biased estimator of that cost, and a single noisy leg
-can corrupt an unattended two-leg run. Every leg that ran is retained
-verbatim under ``levels[k]["all_runs"]`` (per-round seconds, stage
-timings, and the 1-min load average at each round end), so the selection
-is auditable: the discarded legs are the ones containing visibly
-interfered rounds (e.g. a rank stage at 62.7 s vs the 18 s the identical
-code/input does in every clean round).
+level is the least-biased estimator of that cost. But per-level minima
+taken independently can also make the published efficiency an artifact of
+which level got the luckier draw, so the report now carries BOTH:
+
+- ``scaling_efficiency_steady`` — best leg per level (the additive-noise
+  minimum estimator, unchanged), and
+- ``scaling_efficiency_steady_median_leg`` — matched-percentile (median
+  leg at each level), which cancels a lucky draw on one side, plus the
+  full per-level min/median/max spread.
+
+Every leg that ran is retained verbatim under ``levels[k]["all_runs"]``
+(per-round seconds, stage timings, and the 1-min load average at each
+round end), so any selection is auditable.
 
 Usage:
     python tools/scaling_report.py --level 16 extra_leg.json [more.json...]
 
 reads BENCH/scaling.json (written by bench_scaling.py), adds the extra
 leg(s) for `--level`, re-selects the best leg per level by steady-state
-throughput, recomputes efficiency, and rewrites scaling.json + BASELINE.md.
+throughput, recomputes efficiencies and spreads, and rewrites
+scaling.json + BASELINE.md. Any number of parallelism levels is handled:
+the headline efficiency is min-level → max-level and pairwise numbers
+between consecutive levels are emitted alongside.
 """
 
 from __future__ import annotations
@@ -27,6 +36,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -52,6 +62,42 @@ def leg_stats(rows: list[dict], warmup: int) -> dict:
         "fetched": fetched,
         "steady_stage_avg_sec": stages,
     }
+
+
+def _spread(vals: list[float]) -> dict:
+    return {"n_legs": len(vals), "min": min(vals),
+            "median": round(statistics.median(vals), 2), "max": max(vals)}
+
+
+def recompute(out: dict) -> None:
+    """Recompute best-leg + median-leg efficiencies and per-level spreads
+    in place, for any number of levels (pairwise between consecutive
+    sorted levels; headline = min level → max level)."""
+    levels = sorted(int(k) for k in out["levels"])
+    for k, lv in out["levels"].items():
+        legs = lv.get("all_runs_steady_urls_per_sec",
+                      [lv["urls_per_sec_steady"]])
+        lv["steady_spread"] = _spread(legs)
+        lv["urls_per_sec_steady_median_leg"] = round(
+            statistics.median(legs), 2)
+
+    def eff(lo: int, hi: int, key: str) -> float:
+        return round(out["levels"][str(hi)][key]
+                     / out["levels"][str(lo)][key] / (hi / lo), 3)
+
+    lo, hi = levels[0], levels[-1]
+    out["scaling_efficiency_full"] = eff(lo, hi, "urls_per_sec_full")
+    out["scaling_efficiency_steady"] = eff(lo, hi, "urls_per_sec_steady")
+    out["scaling_efficiency_steady_median_leg"] = eff(
+        lo, hi, "urls_per_sec_steady_median_leg")
+    if len(levels) > 2:
+        out["pairwise_efficiency_steady"] = {
+            f"{a}->{b}": eff(a, b, "urls_per_sec_steady")
+            for a, b in zip(levels, levels[1:])}
+    out["leg_selection"] = (
+        "headline = best steady-state leg per level (additive-noise minimum "
+        "estimator); median-leg efficiency reported alongside as the "
+        "matched-percentile estimate; every leg retained under all_runs*")
 
 
 def main():
@@ -82,31 +128,23 @@ def main():
         if st["urls_per_sec_steady"] > lv["urls_per_sec_steady"]:
             lv.update({k: v for k, v in st.items()})
 
-    lo, hi = sorted(int(k) for k in out["levels"])
-    ratio = hi / lo
-    out["scaling_efficiency_full"] = round(
-        out["levels"][str(hi)]["urls_per_sec_full"]
-        / out["levels"][str(lo)]["urls_per_sec_full"] / ratio, 3)
-    out["scaling_efficiency_steady"] = round(
-        out["levels"][str(hi)]["urls_per_sec_steady"]
-        / out["levels"][str(lo)]["urls_per_sec_steady"] / ratio, 3)
-    out["leg_selection"] = (
-        "best steady-state leg per level across all runs (additive-noise "
-        "minimum estimator; every leg retained under all_runs*)")
+    recompute(out)
 
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: v["all_runs_steady_urls_per_sec"]
                       for k, v in out["levels"].items()}))
-    print("efficiency steady:", out["scaling_efficiency_steady"],
-          "full:", out["scaling_efficiency_full"])
+    print("efficiency steady (best-leg):", out["scaling_efficiency_steady"],
+          "| median-leg:", out["scaling_efficiency_steady_median_leg"],
+          "| full:", out["scaling_efficiency_full"])
 
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "bs", os.path.join(REPO, "tools", "bench_scaling.py"))
     bs = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bs)
-    bs._write_md(out, lo, hi)
+    levels = sorted(int(k) for k in out["levels"])
+    bs._write_md(out, levels[0], levels[-1])
     print("BASELINE.md rewritten")
 
 

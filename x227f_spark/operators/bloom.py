@@ -131,27 +131,18 @@ def shards_for(expected: int, fpp: float = 0.01) -> int:
     return max(1, -(-(bits >> 3) // SHARD_BYTES_MAX))
 
 
-def build_bloom(df: DataFrame, key: Column, expected: int,
-                fpp: float = 0.01, n_shards: int = 1):
-    """Build a broadcast Bloom filter over ``key`` of ``df``.
-
-    Fully distributed: hash positions are computed JVM-side
-    (``F.xxhash64``), each partition packs its own bitmap with numpy
-    (Arrow-batched — no per-row Python), and the partials are OR-combined
-    with a ``treeReduce`` on the executors. Nothing key-proportional ever
-    reaches the driver — only ``ceil(log(P))`` bitmap-sized partials, then
-    the final bitmap (the thing being broadcast anyway). Round 1 collected
-    every distinct bit position to the driver (k×n rows), a multi-GB
-    driver funnel at 10^8 seen keys.
-    """
-    if n_shards > 1:
-        return _build_sharded(df, key, expected, fpp, n_shards)
+def _size_params(expected: int, fpp: float) -> tuple[int, int]:
     expected = max(expected, 16)
     m = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
-    k = max(1, round(m / expected * math.log(2)))
-    k = min(k, 8)
-    nbytes = (m >> 3) + 1
+    k = min(8, max(1, round(m / expected * math.log(2))))
+    return m, k
 
+
+def _bitmap_of(df: DataFrame, key: Column, m: int, k: int) -> np.ndarray:
+    """Distributed bitmap build: hash positions JVM-side, per-partition
+    numpy packing (Arrow batches), executor-side treeReduce OR. Only
+    bitmap-sized partials ever reach the driver."""
+    nbytes = (m >> 3) + 1
     pos_df = df.select(*[
         F.pmod(F.xxhash64(F.lit(i), key), F.lit(m)).alias(f"p{i}")
         for i in range(k)
@@ -174,9 +165,27 @@ def build_bloom(df: DataFrame, key: Column, expected: int,
     bits = (partials.rdd
             .map(lambda r: np.frombuffer(r["bits"], dtype=np.uint8))
             .treeReduce(np.bitwise_or))
-    bits = np.asarray(bits, dtype=np.uint8)  # own the buffer
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(bits)
+    return np.asarray(bits, dtype=np.uint8).copy()  # own the buffer
+
+
+def build_bloom(df: DataFrame, key: Column, expected: int,
+                fpp: float = 0.01, n_shards: int = 1):
+    """Build a broadcast Bloom filter over ``key`` of ``df``.
+
+    Fully distributed: hash positions are computed JVM-side
+    (``F.xxhash64``), each partition packs its own bitmap with numpy
+    (Arrow-batched — no per-row Python), and the partials are OR-combined
+    with a ``treeReduce`` on the executors. Nothing key-proportional ever
+    reaches the driver — only ``ceil(log(P))`` bitmap-sized partials, then
+    the final bitmap (the thing being broadcast anyway). Round 1 collected
+    every distinct bit position to the driver (k×n rows), a multi-GB
+    driver funnel at 10^8 seen keys.
+    """
+    if n_shards > 1:
+        return _build_sharded(df, key, expected, fpp, n_shards)
+    m, k = _size_params(expected, fpp)
+    bits = _bitmap_of(df, key, m, k)
+    bc = df.sparkSession.sparkContext.broadcast(bits)
     return BloomFilter(bits, m, k, bc)
 
 
@@ -187,9 +196,15 @@ def _build_sharded(df: DataFrame, key: Column, expected: int, fpp: float,
     shard-hash repartition that is ~one shard per partition), partials
     OR-combine per shard on the executors, and each shard becomes its own
     broadcast — nothing whole-filter-sized exists anywhere."""
-    per_shard = max(expected // n_shards, 16)
-    m = max(64, int(-per_shard * math.log(fpp) / (math.log(2) ** 2)))
-    k = min(8, max(1, round(m / per_shard * math.log(2))))
+    m, k = _size_params(max(expected // n_shards, 16), fpp)
+    maps = _shard_bitmaps_of(df, key, m, k, n_shards)
+    sc = df.sparkSession.sparkContext
+    shard_bcs = {s: sc.broadcast(b) for s, b in maps.items()}
+    return ShardedBloomFilter(shard_bcs, m, k, n_shards)
+
+
+def _shard_bitmaps_of(df: DataFrame, key: Column, m: int, k: int,
+                      n_shards: int) -> dict[int, np.ndarray]:
     nbytes = (m >> 3) + 1
 
     pos_df = df.select(
@@ -227,10 +242,110 @@ def _build_sharded(df: DataFrame, key: Column, expected: int, fpp: float,
                               np.frombuffer(r["bits"], dtype=np.uint8)))
               .reduceByKey(np.bitwise_or)
               .collect())  # <= n_shards (shard, bitmap) pairs
-    sc = df.sparkSession.sparkContext
-    shard_bcs = {int(s): sc.broadcast(np.asarray(b, dtype=np.uint8))
-                 for s, b in merged}
-    return ShardedBloomFilter(shard_bcs, m, k, n_shards)
+    return {int(s): np.asarray(b, dtype=np.uint8).copy() for s, b in merged}
+
+
+class IncrementalBloom:
+    """Round-to-round incremental Bloom maintenance — O(batch) per round.
+
+    The round-4 engine rebuilt the filter from the FULL seen set every
+    round: an O(state) scan plus Python bitmap packing in the round's
+    control-plane path, pure waste in recrawl-heavy steady state where the
+    seen set barely grows. Bloom bitmaps are OR-monotone, so the driver
+    keeps the merged bitmaps between rounds (the same arrays the one-shot
+    build collects anyway) and each round scans ONLY the keys first seen
+    since the last update — with the seen table stored as per-round append
+    deltas, the ``first_seen_round > upto`` predicate prunes whole delta
+    files via parquet stats, so update I/O is O(batch). A round that adds
+    no keys (the steady recrawl regime) costs zero jobs: the caller's
+    driver-side seen counter short-circuits the update.
+
+    Capacity doubling: bitmaps are sized for 2× the seen count at
+    (re)build time; a full rebuild fires only when the count outgrows
+    capacity (or on the first call, e.g. after a crash-resume — the state
+    is driver-held and deliberately not checkpointed: losing it costs one
+    O(state) rebuild, never correctness). Amortized over the doublings
+    that is O(1) full scans per key, and under capacity the realized FPP
+    is strictly better than the target. Shard count follows capacity
+    (``shards_for``), so the sharded path engages at the same thresholds
+    as the one-shot build; superseded broadcasts are unpersisted (not
+    destroyed — an evicted-and-recomputed cache partition may still probe
+    an old filter object, and unpersisted broadcasts re-ship from the
+    driver on access).
+    """
+
+    def __init__(self, fpp: float = 0.01, min_seen: int = 0):
+        self.fpp = fpp
+        self.min_seen = min_seen
+        self._filter = None
+        self._capacity = 0
+        self._count = -1       # seen_count the current bitmaps cover
+        self._upto = -1        # max first_seen_round folded in
+        self._bits = None      # np.ndarray (single) or dict (sharded)
+
+    def _broadcast(self, spark) -> None:
+        old = self._filter
+        sc = spark.sparkContext
+        # snapshot (copy) at broadcast time: later rounds OR into the
+        # driver-held arrays in place, and an executor re-fetching an
+        # unpersisted broadcast must see the filter as of ITS round
+        if isinstance(self._bits, dict):
+            bcs = {s: sc.broadcast(b.copy()) for s, b in self._bits.items()}
+            m, k = self._mk
+            self._filter = ShardedBloomFilter(bcs, m, k, self._n_shards)
+        else:
+            m, k = self._mk
+            snap = self._bits.copy()
+            self._filter = BloomFilter(snap, m, k, sc.broadcast(snap))
+        if old is not None:
+            try:
+                if isinstance(old, ShardedBloomFilter):
+                    for bc in old._shard_bcs.values():
+                        bc.unpersist(False)
+                else:
+                    old._broadcast.unpersist(False)
+            except Exception:
+                pass
+
+    def update(self, seen: DataFrame, key_col: str, seen_count: int,
+               upto_round: int):
+        """Return a filter covering every key of ``seen`` (committed as of
+        ``upto_round``), or None below the ``min_seen`` engage threshold.
+        ``seen_count`` is the caller's driver-side count — when unchanged
+        since the last update the call is free."""
+        if seen_count < self.min_seen:
+            return None
+        key = F.col(key_col)
+        if self._filter is None or seen_count > self._capacity:
+            # full (re)build, capacity-doubled so rebuilds amortize O(1)
+            self._capacity = max(2 * seen_count, 2 * max(self.min_seen, 16))
+            self._n_shards = shards_for(self._capacity, self.fpp)
+            if self._n_shards > 1:
+                self._mk = _size_params(
+                    max(self._capacity // self._n_shards, 16), self.fpp)
+                self._bits = _shard_bitmaps_of(seen, key, *self._mk,
+                                               self._n_shards)
+            else:
+                self._mk = _size_params(self._capacity, self.fpp)
+                self._bits = _bitmap_of(seen, key, *self._mk)
+        elif seen_count != self._count:
+            delta = seen.where(F.col("first_seen_round") > F.lit(self._upto))
+            if self._n_shards > 1:
+                for s, b in _shard_bitmaps_of(delta, key, *self._mk,
+                                              self._n_shards).items():
+                    if s in self._bits:
+                        np.bitwise_or(self._bits[s], b, out=self._bits[s])
+                    else:
+                        self._bits[s] = b
+            else:
+                np.bitwise_or(self._bits, _bitmap_of(delta, key, *self._mk),
+                              out=self._bits)
+        else:
+            return self._filter  # no new keys since the last update
+        self._count = seen_count
+        self._upto = upto_round
+        self._broadcast(seen.sparkSession)
+        return self._filter
 
 
 def anti_join_new(targets: DataFrame, key_col: str, seen: DataFrame,

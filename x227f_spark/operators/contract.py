@@ -320,6 +320,27 @@ def x2_png_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "r.pixels_equal"))
 
 
+def x2x3_image_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+X3 as ONE driver entry: the external 50-query cap forces the
+    rows-only tail to spill a few entries per round; merging the two
+    image-byte operators halves that pressure while still exercising both
+    code paths end-to-end (re-encode results joined on doc_id with the
+    sniffer's view of the same synthetic images). Self-checks the X2
+    invariant inline: a row whose pixels changed is a correctness break,
+    not a data point."""
+    joined = (x2_png_reencode(spark, sf_dir)
+              .join(x3_format_sniff(spark, sf_dir), "doc_id"))
+    # assert_true lives in a FILTER predicate (returns NULL when the
+    # invariant holds, raises otherwise) — a dropped assert column would
+    # just be pruned by Catalyst and never evaluated
+    return (joined.where(F.assert_true(
+                F.col("pixels_equal"),
+                F.lit("X2 re-encode altered pixels")).isNull())
+            .select("doc_id", "len_before", "len_after", "changed",
+                    "pixels_equal", "fmt", "ext", "width", "height",
+                    "is_button"))
+
+
 # ---------------------------------------------------------------------------
 # J5 / G7 / O3 / O4 / T4 — SQL-expressible shapes (full value oracles)
 # ---------------------------------------------------------------------------

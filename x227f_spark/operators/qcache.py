@@ -40,8 +40,11 @@ def scoped(df: DataFrame) -> DataFrame:
 def release_caches() -> None:
     """Unpersist every block registered since the last release. Handles
     both CacheManager entries (persist) and localCheckpoint blocks, which
-    live at the RDD level and are invisible to ``DataFrame.unpersist``."""
-    global _SCOPED
+    live at the RDD level and are invisible to ``DataFrame.unpersist``.
+    Release callbacks are one-shot: the list is cleared after firing, so
+    owners re-registering on the next scope never accumulate duplicates
+    across scope cycles."""
+    global _SCOPED, _ON_RELEASE
     for df in _SCOPED:
         try:
             df.unpersist(blocking=False)
@@ -51,7 +54,8 @@ def release_caches() -> None:
         except Exception:
             pass  # session already stopped — nothing to free
     _SCOPED = []
-    for fn in _ON_RELEASE:
+    callbacks, _ON_RELEASE = _ON_RELEASE, []
+    for fn in callbacks:
         try:
             fn()
         except Exception:

@@ -54,6 +54,7 @@ def global_row_number(
     num_partitions: int | None = None,
     persist: Callable[[DataFrame], DataFrame] | None = None,
     return_count: bool = False,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = 1-based global row number of ``df`` under the
     total order ``order_by``, without a single-partition window.
@@ -66,22 +67,56 @@ def global_row_number(
     ``return_count=True`` returns ``(df, total_rows)`` — the total falls
     out of the partition-size prefix sum for free, saving callers a
     separate ``count()`` job.
+
+    ``bounds=(lo, hi)``: when the (single, ascending, numeric) sort key's
+    value range is already known to the caller — the scheduler maintains
+    the queue-position high-water mark as a driver scalar — the order
+    buckets are computed directly as ``(key - lo) * n // span`` instead of
+    via ``repartitionByRange``, eliminating the RangePartitioner's
+    separate boundary-sampling JOB from the stage. Bucket skew (e.g. a
+    consumed prefix of the position space) costs balance, never
+    correctness: ordinals come from the bucket-wise prefix sum either way.
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
 
-    ranged = df.repartitionByRange(num_partitions, *cols)
-    w = W.partitionBy(_PID).orderBy(*cols)
-    local = (ranged.withColumn(_PID, F.spark_partition_id())
-             .withColumn(_LRN, F.row_number().over(w)))
-    # cache: the counts job below and the caller's downstream both read it
-    if persist is not None:
+    if persist is None:
+        from .qcache import scoped_persist
+        persist = scoped_persist  # released by the harness's scope
+
+    if bounds is not None:
+        # bounds path requires a single ascending numeric key (the column
+        # itself, not a F.desc() expression)
+        assert len(cols) == 1 and isinstance(order_by[0], str), order_by
+        key = cols[0]
+        lo, hi = bounds
+        span = max(hi - lo + 1, 1)
+        bucket = F.least(
+            F.lit(num_partitions - 1),
+            F.greatest(F.lit(0),
+                       ((key.cast("double") - F.lit(float(lo)))
+                        * num_partitions / F.lit(float(span))).cast("int")))
+        w = W.partitionBy(_PID).orderBy(*cols)
+        local = (df.withColumn(_PID, bucket)
+                 .withColumn(_LRN, F.row_number().over(w)))
         local = persist(local)
     else:
-        from .qcache import scoped_persist
-        local = scoped_persist(local)  # released by the harness's scope
+        # cache the INPUT before range-partitioning: RangePartitioner runs
+        # a separate sampling job over the child plan to pick boundaries,
+        # then the shuffle map stage evaluates the child AGAIN — for the
+        # engine's call sites (queue window + budget UDF; link extraction
+        # + bloom probe) that upstream is the expensive part of the stage,
+        # and the cache turns the double evaluation into compute-once +
+        # one cache read
+        df = persist(df)
+        ranged = df.repartitionByRange(num_partitions, *cols)
+        w = W.partitionBy(_PID).orderBy(*cols)
+        local = (ranged.withColumn(_PID, F.spark_partition_id())
+                 .withColumn(_LRN, F.row_number().over(w)))
+        # cache: the counts job below and the caller's downstream read it
+        local = persist(local)
 
     # partition sizes → driver prefix sum (num_partitions rows, metadata)
     sizes = {r[_PID]: r["cnt"] for r in

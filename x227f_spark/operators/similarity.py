@@ -36,10 +36,17 @@ def _norm(a):
         F.lit(0.0), lambda acc, v: acc + v))
 
 
-def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for the first N_QUERIES vectors."""
+def cosine_topk(spark: SparkSession, sf_dir: str,
+                query_ids: list[int] | None = None) -> DataFrame:
+    """Brute-force cosine top-k for the first N_QUERIES vectors.
+
+    ``query_ids`` restricts the query set (used by the multiprobe
+    verification pass to score only its sampled queries — the exact scan
+    is O(n · |queries|), so sampling queries samples the work)."""
     emb = _emb(spark, sf_dir)
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+    q_pred = (F.col("vec_id").isin([int(x) for x in query_ids])
+              if query_ids is not None else F.col("vec_id") < N_QUERIES)
+    q = emb.where(q_pred).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
     c = emb.select(F.col("vec_id").alias("neighbor_id"),
                    F.col("embedding").alias("v"))
@@ -324,45 +331,67 @@ def index_for(spark: SparkSession, sf_dir: str,
     from .qcache import on_release
 
     if not _INDEX_REGISTRY:
+        # _ON_RELEASE is one-shot (qcache clears it after firing), so
+        # re-registering when the registry refills is exactly once per
+        # scope cycle — no duplicate-callback accumulation.
         on_release(_clear_index_registry)
-    key = (id(spark), sf_dir, k)
+    # keyed on the Spark application id — stable for the session's life,
+    # unlike id(spark), which CPython can reuse after a session is GC'd
+    # (a recycled id would serve a stale index bound to dead DataFrames)
+    key = (spark.sparkContext.applicationId, sf_dir, k)
     idx = _INDEX_REGISTRY.get(key)
     if idx is None:
         idx = _INDEX_REGISTRY[key] = AnnIndex(spark, sf_dir, k)
     return idx
 
 
+# deterministic 1-in-VERIFY_SAMPLE_MOD vector sample for the contract-mode
+# agreement check (xxhash64 of vec_id, not vec_id ranges — centroid-
+# assignment quality is position-independent but id ranges correlate with
+# write order in synthetic corpora)
+VERIFY_SAMPLE_MOD = 8
+
+
 def ivf_assign_production(spark: SparkSession, sf_dir: str,
                           k: int | None = None,
-                          hierarchical: bool = True) -> DataFrame:
+                          hierarchical: bool = True,
+                          verify: bool = False) -> DataFrame:
     """Production assignment via the persisted index (training is shared
     across calls through ``index_for``). ``hierarchical=False`` returns the
     flat argmax over the same codebook — the reference the tests compare
     against.
 
-    Self-verifying driver entry (no DuckDB oracle is possible for k-means
-    output): the hierarchical path asserts its O(sqrt(K))-per-vector
-    assignment agrees with the flat argmax on ≥85% of vectors (i.i.d.
-    uniform embeddings are the structureless worst case — the pytest-pinned
-    bar; real corpora sit far higher), so a green driver row certifies the
-    two-level quantizer, not just "returned rows"."""
+    ``verify=True`` (the contract/driver-entry mode; no DuckDB oracle is
+    possible for k-means output): asserts the O(sqrt(K))-per-vector
+    hierarchical assignment agrees with the flat argmax on ≥85% of a
+    deterministic 1-in-8 vector sample (i.i.d. uniform embeddings are the
+    structureless worst case — the pytest-pinned bar; real corpora sit far
+    higher), so a green driver row certifies the two-level quantizer, not
+    just "returned rows". The flat argmax runs ONLY over the sample —
+    O(n/8 · K) instead of doubling the full assignment — and the
+    production default (verify=False) runs zero extra scans: it returns
+    the persisted assignment as-is."""
     idx = index_for(spark, sf_dir, k)
     if not hierarchical:
         return _assign_with_codebook(idx.emb, idx.cent, idx.sup,
                                      idx.members, hierarchical=False)
-    flat = _assign_with_codebook(idx.emb, idx.cent, idx.sup, idx.members,
-                                 hierarchical=False)
-    agree = (idx.assigned.alias("h")
-             .join(flat.alias("f"), "vec_id")
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.sum(F.when(F.col("h.centroid_id")
-                               == F.col("f.centroid_id"), 1)
-                        .otherwise(0)).alias("same"))
-             .first())
-    if agree["n"] > 0 and agree["same"] / agree["n"] < 0.85:
-        raise AssertionError(
-            f"hierarchical/flat assignment agreement "
-            f"{agree['same']}/{agree['n']} below 0.85")
+    if verify:
+        sample = idx.emb.where(
+            F.pmod(F.xxhash64("vec_id"), F.lit(VERIFY_SAMPLE_MOD)) == 0)
+        flat = _assign_with_codebook(sample, idx.cent, idx.sup, idx.members,
+                                     hierarchical=False)
+        agree = (idx.assigned.alias("h")
+                 .join(flat.alias("f"), "vec_id")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.when(F.col("h.centroid_id")
+                                   == F.col("f.centroid_id"), 1)
+                            .otherwise(0)).alias("same"))
+                 .first())
+        if agree["n"] > 0 and agree["same"] / agree["n"] < 0.85:
+            raise AssertionError(
+                f"hierarchical/flat assignment agreement "
+                f"{agree['same']}/{agree['n']} below 0.85 (sampled 1/"
+                f"{VERIFY_SAMPLE_MOD})")
     return idx.assigned
 
 
@@ -394,19 +423,25 @@ def ivf_buckets_salted(spark: SparkSession, sf_dir: str,
 
 
 def ann_query_multiprobe(spark: SparkSession, sf_dir: str,
-                         probe: int = 8) -> DataFrame:
+                         probe: int = 8, verify: bool = False) -> DataFrame:
     """Query path: each query scores the K trained centroids (driver-side
     numpy for the handful of queries), probes its top-`probe` buckets, and
     ranks only the vectors assigned there — per-query cost
     O(K + probe * n/K) = O(sqrt(n)) instead of O(n). Trains nothing: the
     codebook and the persisted assignment come from the shared AnnIndex.
 
-    Self-verifying driver entry: asserts mean recall ≥ 0.6 against the
-    exact brute-force top-k at the default probe=8 (the pytest-pinned bar
-    for the structureless i.i.d. worst case), so a green driver row
-    certifies the probe path finds the true neighbors, not just "returned
-    TOP_K rows". Lower probe values (the tests sweep the knob) only check
-    the result is sane (recall > 0)."""
+    ``verify=True`` (the contract/driver-entry mode): asserts mean recall
+    ≥ 0.6 against the exact brute-force top-k at the default probe=8 (the
+    pytest-pinned bar for the structureless i.i.d. worst case), so a green
+    driver row certifies the probe path finds the true neighbors, not just
+    "returned TOP_K rows". The check is sampled and non-duplicating: the
+    exact scan runs only for ceil(N_QUERIES/2) deterministically-chosen
+    query ids (O(n·queries) work scales with the sample), and the probe
+    result is localCheckpointed before its collect so the returned
+    DataFrame is served from the materialized blocks, not recomputed by
+    the caller. The production default (verify=False) runs zero exact
+    scans and zero result collects. Lower probe values (the tests sweep
+    the knob) only check the result is sane (recall > 0)."""
     import numpy as np
 
     idx = index_for(spark, sf_dir)
@@ -441,14 +476,26 @@ def ann_query_multiprobe(spark: SparkSession, sf_dir: str,
               .withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= TOP_K)
               .select("query_id", "neighbor_id", "rank", "cos_sim"))
+    if not verify:
+        return result
 
+    from .qcache import scoped
+    # materialize once; the recall collect and the caller's execution both
+    # read the checkpointed blocks (released with the harness cache scope)
+    result = scoped(result.localCheckpoint(eager=True))
+    sample_qids = sorted(int(r["vec_id"])
+                         for r in qrows)[: (N_QUERIES + 1) // 2]
     exact = {(r["query_id"], r["neighbor_id"])
-             for r in cosine_topk(spark, sf_dir).collect()}
-    got = {(r["query_id"], r["neighbor_id"]) for r in result.collect()}
+             for r in cosine_topk(spark, sf_dir,
+                                  query_ids=sample_qids).collect()}
+    sset = set(sample_qids)
+    got = {(r["query_id"], r["neighbor_id"]) for r in result.collect()
+           if r["query_id"] in sset}
     mean_recall = len(exact & got) / len(exact) if exact else 1.0
     bar = 0.6 if probe >= 8 else 0.0
     if exact and (mean_recall < bar or mean_recall == 0.0):
         raise AssertionError(
             f"multiprobe recall vs exact top-k too low at probe={probe}: "
-            f"{mean_recall:.2f} (bar {bar})")
+            f"{mean_recall:.2f} (bar {bar}, {len(sample_qids)} sampled "
+            f"queries)")
     return result

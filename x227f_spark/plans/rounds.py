@@ -37,7 +37,7 @@ from pyspark.sql.functions import pandas_udf
 from ..constants import EngineConfig
 from ..model import VIRTUAL_EPOCH
 from ..operators import fetch as fetch_ops
-from ..operators.bloom import anti_join_new, build_bloom, shards_for
+from ..operators.bloom import IncrementalBloom, anti_join_new
 from ..operators.pagerank import pagerank_iterations
 from ..sources.catalog import MergeDelta, StateStore
 from ..functions.urlnorm import (
@@ -116,6 +116,12 @@ class CrawlEngine:
             self.cfg = replace(self.cfg, starting_point=starting_point)
         self.store = StateStore(spark, state_dir)
         self._last_round_big = False
+        self._tm = {}
+        # incremental admission bloom (driver-held; rebuilt from the full
+        # committed seen set only on first use / crash-resume / capacity
+        # doubling — see bloom.IncrementalBloom)
+        self._ibloom = IncrementalBloom(fpp=self.cfg.bloom_fpp,
+                                        min_seen=self.BLOOM_MIN_SEEN)
 
         http = spark.read.parquet(f"{corpus_dir}/http.parquet")
         docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
@@ -182,6 +188,12 @@ class CrawlEngine:
             self._queue_len = 0
             self._max_pos = -1
 
+
+    def _sub(self, key: str, t_start: float) -> None:
+        """Sub-stage timing attribution (keys with a dot are diagnostics
+        nested under the five coarse marks; scaling_report aggregates only
+        the coarse stages)."""
+        self._tm[key] = round(time.monotonic() - t_start, 3)
 
     def _persist(self, df: DataFrame) -> DataFrame:
         """Round-scoped cache: reused intermediates are persisted lazily
@@ -279,6 +291,7 @@ class CrawlEngine:
             tm[key] = round(now_t - t_last[0], 3)
             t_last[0] = now_t
 
+        self._tm = tm
         self._bootstrap()
         r = self.store.round + 1
         cfg = self.cfg
@@ -302,7 +315,10 @@ class CrawlEngine:
             scores = nodes.select("node_id", F.lit(0.15).alias("score"))
         else:
             scores = pagerank_iterations(nodes, edges, scores, iters,
-                                         cut=self._cut)
+                                         cut=self._cut,
+                                         persist=self._persist,
+                                         on_timing=lambda k, s: self._sub(
+                                             f"rank.{k}", s))
         _mark("rank")
 
         # ---- refresh_queue: T1/T2/F11/F12 (data.rs:210-292) ---------------
@@ -364,18 +380,26 @@ class CrawlEngine:
             .withColumn("hr", F.row_number().over(w_host))
             .where(F.col("hr") <= F.col("budget"))
         )
+        t_grn = time.monotonic()
+        # queue positions live in [0, max_pos + limit_n] — known driver
+        # scalars, so the global rank skips the RangePartitioner's
+        # boundary-sampling job (ranked.global_row_number bounds path)
         sel, sel_total = global_row_number(sel, ["queue_pos"], "gr",
                                            persist=self._persist,
-                                           return_count=True)
+                                           return_count=True,
+                                           bounds=(0, max_pos + limit_n))
         sel = sel.where(F.col("gr") <= cfg.fetch_cap)
+        self._sub("sched.rank", t_grn)
         # lineage cut, not persist: `selected` feeds every downstream stage
         # (fetch, commit, trace); an uncached plan would compound through
         # the round's self-joins. n_selected falls out of the global-rank
         # prefix sum — no separate count job.
+        t_cut = time.monotonic()
         selected = self._cut(sel.select(
             "queue_pos", "url", "page_id", "host",
             (F.col("gr") - 1).cast("long").alias("crawl_pos"),
         ))
+        self._sub("sched.cut", t_cut)
         n_selected = min(sel_total, cfg.fetch_cap)
         self._last_round_big = n_selected >= cfg.gc_big_round_urls
         # queue merge delta (O(batch)): tombstones for the scheduled rows,
@@ -448,6 +472,8 @@ class CrawlEngine:
         self.store.commit(r, staged, appended, stats=self._stats,
                           late_append=_late, merge=merges)
         _mark("write")
+        for k, v in self.store.last_timing.items():
+            tm[f"write.{k}"] = v
         self._finish_round({**staged,
                             **{k: m.rows for k, m in merges.items()}})
         self.last_timing = tm
@@ -484,24 +510,35 @@ class CrawlEngine:
         if self.store.round % self.RECONCILE_EVERY == 0:
             self._reconcile_queue_stats()
 
-    # every this-many rounds, re-derive queue_len/max_pos from the
-    # committed queue table — bounds any drift the incremental
-    # Observation-fed accounting could accumulate (e.g. an observed write
-    # retried after a transient failure keeps the first execution's
-    # metrics). One O(queue) agg job per cadence, amortized noise.
+    # every this-many rounds, re-derive queue_len from the committed queue
+    # table — bounds any drift the incremental Observation-fed accounting
+    # could accumulate (e.g. an observed write retried after a transient
+    # failure keeps the first execution's metrics). One O(queue) agg job
+    # per cadence, amortized noise.
     RECONCILE_EVERY = 16
 
     def _reconcile_queue_stats(self) -> None:
+        """Reconcile ONLY the queue length. ``_max_pos``'s contract is
+        "max position ever assigned" (consumed rows keep their positions
+        retired forever, preserving uniqueness over crawl history), while
+        max(queue_pos) of the *committed* queue is merely "max position
+        still waiting" — whenever the highest-position row has been
+        scheduled (host-budget selection is not a strict prefix; a fully
+        drained queue gives no rows at all) the committed max is LOWER
+        than the true high-water mark, and adopting it would reuse
+        queue_pos values of already-consumed rows. max() keeps the
+        monotone contract; the committed value can still repair an
+        UNDER-counting _max_pos (e.g. a lost Observation on a crash)."""
         qrow = self.table("queue").agg(
             F.count("*").alias("n"), F.max("queue_pos").alias("mx")).first()
         n = int(qrow["n"])
         mx = int(qrow["mx"]) if qrow["mx"] is not None else -1
-        if n != self._queue_len or mx != self._max_pos:
+        if n != self._queue_len:
             _log.warning(
-                "queue stats drifted: incremental (len=%d, max_pos=%d) vs "
-                "committed (len=%d, max_pos=%d) — correcting",
-                self._queue_len, self._max_pos, n, mx)
-            self._queue_len, self._max_pos = n, mx
+                "queue length drifted: incremental %d vs committed %d — "
+                "correcting", self._queue_len, n)
+            self._queue_len = n
+        self._max_pos = max(self._max_pos, mx)
 
     def _drop_round_persists(self) -> None:
         for df in self._round_persists:
@@ -649,9 +686,13 @@ class CrawlEngine:
         # cut, not persist: cand's plan is the whole candidate/validation
         # case-when tree and btns feeds button_cache, media and the page
         # re-assembly — uncut they re-embed that tree at every reference
+        t_cand = time.monotonic()
         cand = self._cut(cand)
+        self._sub("fetch.cand", t_cand)
+        t_btns = time.monotonic()
         btns = self._cut(fetch_ops.budget_pass(
             cand.drop("requesting"), n_part))
+        self._sub("fetch.btns", t_btns)
         # S8 — content-addressed media sink. Candidate rows carry no image
         # bytes (millions of rows repeat a few thousand distinct buttons, so
         # per-row bytes are near-pure duplicate Arrow/shuffle traffic);
@@ -706,10 +747,12 @@ class CrawlEngine:
         # reference (the round-1 120 MB plan strings). _cut unpersists the
         # blocks at round end. The fetched count rides an Observation on the
         # same eager materialization — no separate count job.
+        t_pages = time.monotonic()
         f_obs = Observation()
         fetched = self._cut(fetched.observe(
             f_obs, F.count(F.lit(1)).alias("n")))
         fetched_n = int(_obs_get(f_obs, {"n": 0})["n"])
+        self._sub("fetch.pages", t_pages)
         # errors is a cheap filter over the persisted f2 — no extra cache
         return fetched, errors, btns, media_new, fetched_n
 
@@ -825,18 +868,18 @@ class CrawlEngine:
         # ---- node-id assignment: deterministic insertion order --------------
         # Bloom pre-prune only pays off once the seen set outgrows a
         # broadcast; below the threshold the plain anti-join is cheaper.
-        # Shard count follows the live seen count (bloom.shards_for): S=1
-        # until a single bitmap would exceed the 256 MB broadcast cap, S≈47
-        # at the 10^10-key design point — the sharded build/probe path
-        # (per-shard broadcasts, shard-partitioned probe) engages
-        # automatically mid-crawl when the threshold is crossed.
-        bloom = None
-        if self._seen_count >= self.BLOOM_MIN_SEEN:
-            bloom = build_bloom(seen, F.col("page_id"),
-                                expected=max(self._seen_count, 16),
-                                fpp=cfg.bloom_fpp,
-                                n_shards=shards_for(self._seen_count,
-                                                    cfg.bloom_fpp))
+        # The filter is maintained INCREMENTALLY (bloom.IncrementalBloom):
+        # each round folds in only the keys first seen since the last
+        # update — O(batch), zero jobs when the seen set didn't grow —
+        # instead of the O(state) full-scan rebuild the pre-r5 engine paid
+        # every round. Shard count follows the capacity (S=1 under the
+        # 256 MB broadcast cap, S≈47 at the 10^10-key design point); the
+        # sharded path engages automatically when a capacity doubling
+        # crosses the threshold mid-crawl.
+        t_bloom = time.monotonic()
+        bloom = self._ibloom.update(seen, "page_id", self._seen_count,
+                                    self.store.round)
+        self._sub("plan.bloom", t_bloom)
         targets = links.select(F.col("target_pid").alias("page_id"),
                                "crawl_pos", "link_class", "link_ord")
         new_pids = anti_join_new(targets, "page_id", seen, "page_id", bloom)
@@ -846,9 +889,11 @@ class CrawlEngine:
         max_id = self._seen_count - 1
         seen_first = (new_pids.withColumn("rn", F.row_number().over(w_first))
                       .where(F.col("rn") == 1))
+        t_nodeid = time.monotonic()
         ranked_new, n_new = global_row_number(
             seen_first, ["crawl_pos", "link_class", "link_ord"],
             "assign_rn", persist=self._persist, return_count=True)
+        self._sub("plan.nodeid", t_nodeid)
         if n_new == 0:
             # recrawl-heavy steady state: no new pages most rounds — skip
             # the checkpoint job and the empty seen delta entirely (the
@@ -856,12 +901,14 @@ class CrawlEngine:
             seen_new = self.spark.createDataFrame([], SCHEMAS["seen"])
             seen_all = seen
         else:
+            t_sncut = time.monotonic()
             seen_new = self._cut(
                 ranked_new
                 .withColumn("node_id", F.lit(max_id) + F.col("assign_rn"))
                 .select("page_id", "node_id",
                         F.lit(r).alias("first_seen_round"))
             )
+            self._sub("plan.seen_cut", t_sncut)
             # deliberately NOT persisted: seen_all is referenced only by the
             # commit-pool write jobs (edges + discovered deltas), and a lazy
             # shared cache materialized by two concurrent writes is exactly

@@ -110,6 +110,7 @@ class StateStore:
         self._merge: dict[str, dict] = {}
         self.round = 0
         self.stats: dict = {}
+        self.last_timing: dict = {}  # per-phase seconds of the last commit
         self._load_checkpoint()
 
     # -- checkpoint handling ----------------------------------------------
@@ -189,7 +190,17 @@ class StateStore:
         caller derive tables (metrics) from Observations attached to the
         staged writes, so counting piggybacks on the write jobs instead of
         costing separate actions."""
+        import time
         from concurrent.futures import ThreadPoolExecutor
+
+        self.last_timing = {}
+        _t = time.monotonic()
+
+        def _phase(key):
+            nonlocal _t
+            now = time.monotonic()
+            self.last_timing[key] = round(now - _t, 3)
+            _t = now
 
         new_cow = dict(self._cow)
         new_append = {k: list(v) for k, v in self._append.items()}
@@ -271,16 +282,28 @@ class StateStore:
         # counts, poisoning the cache for the whole session ("Can't zip RDDs
         # with unequal numbers of partitions", deterministic at 1M-row
         # commits) — cannot fire when shared subtrees are already
-        # LogicalRDDs (localCheckpoint) or materialized InMemoryRelations;
-        # CrawlEngine eagerly materializes the one remaining lazy shared
-        # cache (seen_all) before commit when the pool is enabled. Folds
-        # and compactions below stay strictly serial and read only
-        # committed parquet. On a real deployment each table write is its
-        # own job against the catalog (Iceberg commit) and the race does
-        # not exist at all. A transient failure is still retried once,
-        # serially. Set X227F_COMMIT_WRITE_THREADS=1 to restore the fully
-        # serial round-3 behavior.
+        # LogicalRDDs (localCheckpoint) or materialized InMemoryRelations.
+        # The engine upholds that by construction: `fetched`/`selected`/
+        # `seen_new` are localCheckpoints, the `links` persist is warmed by
+        # the node-id count job before commit, and `seen_all` is
+        # deliberately NOT cached (rounds.py) so no lazy shared cache
+        # exists. That invariant is ENFORCED here, not assumed: any staged
+        # plan still referencing an unmaterialized cache drops the commit
+        # to serial writes (correct either way — the pool is purely a
+        # throughput optimization). On a real deployment each table write
+        # is its own job against the catalog (Iceberg commit) and the race
+        # does not exist at all. A transient failure is still retried
+        # once, serially. Set X227F_COMMIT_WRITE_THREADS=1 to force the
+        # fully serial round-3 behavior.
         n_workers = commit_write_threads()
+        if n_workers > 1 and any(self._has_unloaded_cache(df)
+                                 for _n, df, _v in jobs):
+            import logging
+            logging.getLogger(__name__).warning(
+                "staged commit plan references an unmaterialized cache — "
+                "falling back to serial writes for this round (pool-unsafe "
+                "under the AQE cached-subplan race)")
+            n_workers = 1
         if n_workers > 1:
             with ThreadPoolExecutor(max_workers=n_workers) as ex:
                 failures = [f for f in ex.map(_try_write, jobs)
@@ -294,6 +317,7 @@ class StateStore:
                 raise RuntimeError(
                     f"commit write failed twice for table '{job[0]}' "
                     f"v{job[2]} (first error: {first_err})") from e
+        _phase("staged")
 
         if late_append:
             late_jobs = []
@@ -303,6 +327,7 @@ class StateStore:
                 new_append.setdefault(name, []).append(v)
             for job in late_jobs:
                 _write(job)
+        _phase("late")
 
         # ---- compactions + LSM folds -------------------------------------
         # Unlike the staged-table writes above, every job below reads ONLY
@@ -314,7 +339,7 @@ class StateStore:
         # extreme-churn round folds all five merge tables back-to-back, and
         # each fold alone is a small job that nowhere near saturates the
         # executor slots.
-        fold_jobs = []  # (fn) -> applied serially after the parallel writes
+        fold_jobs = []  # (table_name, fn); appliers run serially afterwards
 
         for name, versions in list(new_append.items()):
             if len(versions) < self.COMPACT_AT:
@@ -332,7 +357,7 @@ class StateStore:
                                          for x in versions)
                     new_append[name] = [v]
                 return apply
-            fold_jobs.append(_compact)
+            fold_jobs.append((name, _compact))
 
         # merge-table size bookkeeping (driver-side fs metadata, delta dirs
         # only — a handful of files each)
@@ -377,18 +402,29 @@ class StateStore:
                         "delta_bytes": [],
                         "last_bytes": ent.get("last_bytes", 0)}
                 return apply
-            fold_jobs.append(_fold)
+            fold_jobs.append((name, _fold))
 
         if fold_jobs:
+            # Concurrent-_next_v safety: each fold/compaction allocates its
+            # version from its own table's committed history, so the pool is
+            # race-free iff no two jobs target the same table. Today that
+            # holds by construction (one fold per merge table, compactions
+            # keyed off disjoint append tables — the two maps share no
+            # names); enforce it so a future same-table second job fails
+            # loudly instead of racing the version scan.
+            fold_names = [n for n, _fn in fold_jobs]
+            assert len(set(fold_names)) == len(fold_names), (
+                f"fold pool requires unique table names, got {fold_names}")
             if n_workers > 1 and len(fold_jobs) > 1:
                 with ThreadPoolExecutor(max_workers=n_workers) as ex:
-                    appliers = list(ex.map(lambda fn: fn(), fold_jobs))
+                    appliers = list(ex.map(lambda j: j[1](), fold_jobs))
             else:
-                appliers = [fn() for fn in fold_jobs]
+                appliers = [fn() for _n, fn in fold_jobs]
             # metadata mutations (new_append/new_merge/doomed_deltas) stay
             # single-threaded: each job returns an applier closure run here
             for apply in appliers:
                 apply()
+        _phase("folds")
 
         # stats may be a callable evaluated *after* late_append — lets the
         # caller fold Observation results from the staged writes (queue
@@ -410,6 +446,28 @@ class StateStore:
         self._cow, self._append, self._merge = new_cow, new_append, new_merge
         self.round = round_no
         self.stats = ck["stats"]
+
+    @staticmethod
+    def _has_unloaded_cache(df: DataFrame) -> bool:
+        """True when ``df``'s plan (after cache substitution) references an
+        InMemoryRelation whose column buffers are NOT yet materialized —
+        the precondition of the AQE poisoned-cache race two concurrent
+        writes can trip. Uses ``QueryExecution.withCachedData`` (analysis +
+        cache substitution only, no optimizer pass — cheap driver metadata
+        work; InMemoryRelation is a leaf node). Returns True on any
+        introspection failure: "can't prove safe" degrades to the serial
+        path, which is always correct."""
+        try:
+            leaves = df._jdf.queryExecution().withCachedData().collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                if (leaf.getClass().getSimpleName() == "InMemoryRelation"
+                        and not leaf.cacheBuilder()
+                                    .isCachedColumnBuffersLoaded()):
+                    return True
+            return False
+        except Exception:
+            return True
 
     def _read_parquet(self, path: str, schema: str | None,
                       with_ts: bool = False) -> DataFrame:
