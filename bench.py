@@ -213,6 +213,8 @@ def main():
         out["scaling"] = {
             "levels": sorted(int(k) for k in sc.get("levels", {})),
             "efficiency_steady": sc.get("scaling_efficiency_steady"),
+            "efficiency_steady_median_leg":
+                sc.get("scaling_efficiency_steady_median_leg"),
             "efficiency_full": sc.get("scaling_efficiency_full"),
         }
     fs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -68,7 +68,6 @@ def pagerank_iterations(nodes: DataFrame, edges: DataFrame, scores: DataFrame,
             pass
 
     t0 = time.monotonic()
-    n_part = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     contrib_edges = (
         edges.where(F.col("src") != F.col("dst"))
@@ -76,13 +75,19 @@ def pagerank_iterations(nodes: DataFrame, edges: DataFrame, scores: DataFrame,
         .select("src", "dst", (F.col("weight") / F.col("outdeg")).alias("frac"))
         # reused every iteration — cache hash(src)-partitioned and
         # src-sorted so the per-iteration score join is exchange- and
-        # sort-free on this (the large) side
-        .repartition(n_part, "src")
+        # sort-free on this (the large) side. No explicit partition count:
+        # a user-pinned N disables AQE coalescing, which at small graph
+        # sizes pins every one of the ~10 per-iteration stages to N tasks
+        # of scheduler floor (measured: 2-5x cold-start cost on the sf0.1
+        # driver query); unpinned, AQE sizes the cached layout to the data
+        # while full partitions at the 1M-round design point are left
+        # uncoalesced, preserving the exchange-free iteration joins.
+        .repartition("src")
         .sortWithinPartitions("src")
     )
     contrib_edges = persist(contrib_edges)
     # nodes likewise anchor every iteration's outer join
-    nodes = persist(nodes.repartition(n_part, "node_id")
+    nodes = persist(nodes.repartition("node_id")
                     .sortWithinPartitions("node_id"))
     on_timing("plan_invariants", t0)
 
