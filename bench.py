@@ -52,22 +52,32 @@ CRAWL_FETCH_CAP = int(os.environ.get("BENCH_CRAWL_CAP", "3000"))
 CRAWL_FANOUT = int(os.environ.get("BENCH_CRAWL_FANOUT", "100"))
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float],
+                                               dict[str, float]]:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
     times: dict[str, float] = {}
+    loads: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()
         df = qs[name](spark, sf_dir)
         n = df.count()
         times[name] = round(time.monotonic() - t0, 3)
+        # 1-min load at query end: the suite's own footprint is bounded by
+        # the session's cores, so load1 far above that marks the queries
+        # whose numbers include external contention (the r5 failure mode —
+        # a contaminated window published as a regression)
+        try:
+            loads[name] = round(os.getloadavg()[0], 1)
+        except OSError:
+            pass
         print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
     # intra-suite cache reuse is intended (jaccard/minhash share shingles);
     # release the scope once the suite is done so the session holds no blocks
     from x227f_spark.operators.qcache import release_caches
     release_caches()
-    return times
+    return times, loads
 
 
 def _prune_scratch() -> None:
@@ -125,10 +135,15 @@ def bench_crawl(spark) -> dict:
     t0 = time.monotonic()
     fetched = admitted = 0
     per_round = []
+    round_load = []
     for _ in range(CRAWL_ROUNDS):
         r0 = time.monotonic()
         m = eng.run_round()
         per_round.append(round(time.monotonic() - r0, 2))
+        try:
+            round_load.append(round(os.getloadavg()[0], 1))
+        except OSError:
+            pass
         fetched += m["fetched"] + m["failed"]
         admitted += m["admitted"]
         print(f"  crawl round {m['round']}: admitted={m['admitted']} "
@@ -143,6 +158,7 @@ def bench_crawl(spark) -> dict:
         "rounds": CRAWL_ROUNDS,
         "wall_sec": round(wall, 2),
         "round_sec": per_round,
+        "round_load1": round_load,
     }
 
 
@@ -170,17 +186,31 @@ def main():
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    waited = _wait_for_idle(int(os.environ.get("BENCH_IDLE_WAIT", "180")))
+    waited = _wait_for_idle(int(os.environ.get("BENCH_IDLE_WAIT", "600")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in sf_dir else 0.1
 
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "_data"), exist_ok=True)
     _prune_scratch()
+    try:
+        load_start = round(os.getloadavg()[0], 1)
+    except OSError:
+        load_start = None
     spark = get_spark(cores=cpus, app_name="x227f_bench")
 
+    # one untimed warm-up action before the clock: pays the one-per-session
+    # costs (JVM JIT of the scan/agg skeleton, Python worker pool spin-up,
+    # first-parquet-footer reads) that would otherwise be billed entirely to
+    # whichever query happens to run first. Recorded, not hidden.
+    tw = time.monotonic()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .limit(1000).selectExpr("count(*)").collect()
+    session_warmup = round(time.monotonic() - tw, 3)
+
     t0 = time.monotonic()
-    queries = bench_queries(spark, sf_dir)
+    queries, query_loads = bench_queries(spark, sf_dir)
     crawl = bench_crawl(spark) if os.environ.get("BENCH_SKIP_CRAWL") != "1" \
         else {}
     total = round(time.monotonic() - t0, 3)
@@ -197,10 +227,14 @@ def main():
         "sf": sf,
         "cpus": cpus,
         "crawl": crawl,
-        # measurement hygiene: load average when the clock ended and the
-        # seconds spent waiting for an idle machine — a load far above the
-        # session's own footprint means the numbers include contention
+        # measurement hygiene: load at start/end, per-query load1, the
+        # untimed session warm-up, and the seconds spent waiting for an
+        # idle machine — a load far above the session's own footprint
+        # means the numbers include contention (and now says WHICH queries)
+        "load_avg_start": load_start,
         "load_avg_end": load_now,
+        "queries_load1": query_loads,
+        "session_warmup_sec": session_warmup,
         "idle_wait_sec": waited,
     }
     # surface the latest N-vs-4N scaling evidence (tools/bench_scaling.py —

@@ -332,12 +332,13 @@ best-of-reps after warm-up:
                f"sizes\n(millions of URLs/round at the 10^10-frontier "
                f"design point).\n")
     # hand-maintained analysis (gate status, round-over-round narrative)
-    # lives in BENCH/NOTES.md so regenerating the measured sections above
-    # doesn't erase it
-    notes = os.path.join(REPO, "BENCH", "NOTES.md")
-    if os.path.exists(notes):
-        with open(notes) as f:
-            md += "\n" + f.read()
+    # lives in BENCH/NOTES.md — linked, not inlined, so there is exactly
+    # one copy of the narrative to keep honest
+    md += ("\n## Analysis\n\nGate status, trajectory, noise measurements "
+           "and round-over-round narrative:\nsee [BENCH/NOTES.md](NOTES.md) "
+           "(hand-maintained, the single source of truth\nfor "
+           "interpretation; this file holds the generated measured "
+           "sections).\n")
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
 

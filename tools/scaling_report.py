@@ -82,8 +82,12 @@ def recompute(out: dict) -> None:
             statistics.median(legs), 2)
 
     def eff(lo: int, hi: int, key: str) -> float:
+        # 4 decimals: 3 rounded 0.7997 up to exactly the 0.8 gate bar once,
+        # letting a sub-bar value read as a pass — the gate is judged on
+        # the unrounded ratio, so report enough digits to show which side
+        # of the bar it falls
         return round(out["levels"][str(hi)][key]
-                     / out["levels"][str(lo)][key] / (hi / lo), 3)
+                     / out["levels"][str(lo)][key] / (hi / lo), 4)
 
     lo, hi = levels[0], levels[-1]
     out["scaling_efficiency_full"] = eff(lo, hi, "urls_per_sec_full")

@@ -38,10 +38,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+LAYOUT_MIN_NODES = 100_000
+
+
 def pagerank_iterations(nodes: DataFrame, edges: DataFrame, scores: DataFrame,
                         iterations: int, damping: float = 0.85,
                         checkpoint_every: int = 8,
-                        cut=None, persist=None, on_timing=None) -> DataFrame:
+                        cut=None, persist=None, on_timing=None,
+                        approx_nodes: int | None = None) -> DataFrame:
     """nodes(node_id) · edges(src,dst,weight) · scores(node_id,score) →
     scores after ``iterations`` sweeps. New nodes (absent from ``scores``)
     start at 1.0.
@@ -51,6 +55,16 @@ def pagerank_iterations(nodes: DataFrame, edges: DataFrame, scores: DataFrame,
     preserved). Defaults register with the harness cache scope; the engine
     passes its round-scoped hooks so blocks are reclaimed when the round
     commits. ``on_timing(key, t_start)``: optional sub-stage timing sink.
+
+    ``approx_nodes``: caller-known graph size (any estimate within ~10x is
+    fine — the crawl engine passes its exact seen-count scalar, the
+    relational driver query its modulus bound). Below ``LAYOUT_MIN_NODES``
+    the hash-partition+sort layout of the invariant sides is skipped: a
+    small node side makes every per-iteration score/sum join broadcastable,
+    so the layout buys nothing and its setup (two shuffle+sort+persist
+    materializations) is the dominant cost of a small-graph run — measured
+    ~2-5x of the whole g2 driver query at sf0.1. ``None`` (unknown size)
+    keeps the layout: at the 1M-round design point it is worth 12+ s/round.
     """
     base = 1.0 - damping
     if cut is None:
@@ -68,27 +82,29 @@ def pagerank_iterations(nodes: DataFrame, edges: DataFrame, scores: DataFrame,
             pass
 
     t0 = time.monotonic()
+    use_layout = approx_nodes is None or approx_nodes >= LAYOUT_MIN_NODES
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     contrib_edges = (
         edges.where(F.col("src") != F.col("dst"))
         .join(outdeg, "src")
         .select("src", "dst", (F.col("weight") / F.col("outdeg")).alias("frac"))
+    )
+    if use_layout:
         # reused every iteration — cache hash(src)-partitioned and
         # src-sorted so the per-iteration score join is exchange- and
         # sort-free on this (the large) side. No explicit partition count:
-        # a user-pinned N disables AQE coalescing, which at small graph
-        # sizes pins every one of the ~10 per-iteration stages to N tasks
-        # of scheduler floor (measured: 2-5x cold-start cost on the sf0.1
-        # driver query); unpinned, AQE sizes the cached layout to the data
-        # while full partitions at the 1M-round design point are left
-        # uncoalesced, preserving the exchange-free iteration joins.
-        .repartition("src")
-        .sortWithinPartitions("src")
-    )
+        # a user-pinned N disables AQE coalescing; unpinned (plus the
+        # session's canChangeCachedPlanOutputPartitioning=true, which is
+        # what actually lets AQE resize a plan feeding a cache), AQE sizes
+        # the cached layout to the data while full partitions at the
+        # 1M-round design point are left uncoalesced, preserving the
+        # exchange-free iteration joins.
+        contrib_edges = (contrib_edges.repartition("src")
+                         .sortWithinPartitions("src"))
+        # nodes likewise anchor every iteration's outer join
+        nodes = nodes.repartition("node_id").sortWithinPartitions("node_id")
     contrib_edges = persist(contrib_edges)
-    # nodes likewise anchor every iteration's outer join
-    nodes = persist(nodes.repartition("node_id")
-                    .sortWithinPartitions("node_id"))
+    nodes = persist(nodes)
     on_timing("plan_invariants", t0)
 
     t1 = time.monotonic()
@@ -97,6 +113,12 @@ def pagerank_iterations(nodes: DataFrame, edges: DataFrame, scores: DataFrame,
         .select("node_id", F.coalesce("score", F.lit(1.0)).alias("score"))
     )
 
+    # NOTE: do NOT broadcast-hint the scores/sums sides here, tempting as it
+    # looks for small graphs — a BroadcastExchange materializes its subtree
+    # as a separate job, and the un-persisted iteration chain would be
+    # recomputed from scratch for every iteration's broadcast (O(iters²)
+    # work; measured 1.5x slower than letting AQE share the chained
+    # shuffle stages within one job).
     for i in range(iterations):
         sums = (
             contrib_edges.join(scores, contrib_edges["src"] == scores["node_id"])

@@ -77,7 +77,10 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (edges.select(F.col("src").alias("node_id"))
              .union(edges.select("dst")).distinct())
     scores = spark.createDataFrame([], "node_id long, score double")
-    out = pagerank_iterations(nodes, edges, scores, PR_ITERS)
+    # node ids are moduli — at most 2*PR_MOD distinct, far below the
+    # layout threshold, so the invariant-side hash+sort cache is skipped
+    out = pagerank_iterations(nodes, edges, scores, PR_ITERS,
+                              approx_nodes=2 * PR_MOD)
     return out.select("node_id", F.round("score", 6).alias("score"))
 
 

@@ -446,6 +446,11 @@ def ann_query_multiprobe(spark: SparkSession, sf_dir: str,
 
     idx = index_for(spark, sf_dir)
     cn = idx.cent / np.linalg.norm(idx.cent, axis=1, keepdims=True)
+    # driver-side collect is bounded by the N_QUERIES constant (the probe
+    # fan-out is computed once for a fixed query set, exactly like a serving
+    # layer holds its query batch); keep the bound explicit so a future
+    # N_QUERIES bump can't silently turn this into an O(table) collect
+    assert N_QUERIES <= 10_000, "query-set collect must stay driver-bounded"
     qrows = (idx.emb.where(F.col("vec_id") < N_QUERIES)
              .select("vec_id", "embedding").collect())
     probes = []

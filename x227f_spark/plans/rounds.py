@@ -318,7 +318,11 @@ class CrawlEngine:
                                          cut=self._cut,
                                          persist=self._persist,
                                          on_timing=lambda k, s: self._sub(
-                                             f"rank.{k}", s))
+                                             f"rank.{k}", s),
+                                         # exact node count, maintained as a
+                                         # driver scalar — small crawls skip
+                                         # the big-graph layout setup
+                                         approx_nodes=self._seen_count)
         _mark("rank")
 
         # ---- refresh_queue: T1/T2/F11/F12 (data.rs:210-292) ---------------

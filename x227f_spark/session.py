@@ -36,6 +36,18 @@ def get_spark(cores: int | None = None, shuffle_partitions: int | None = None,
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE re-size the final stage of plans that feed a cache
+        # (InMemoryRelation): without this, a cached repartition(col) is
+        # frozen at spark.sql.shuffle.partitions regardless of data size,
+        # so small cached layouts (e.g. PageRank's iteration-invariant
+        # sides on a tiny graph) pin every downstream stage to N tasks of
+        # scheduler floor. CoalescedHashPartitioning still satisfies the
+        # join distribution, and coalescePartitions.parallelismFirst floors
+        # the result at default.parallelism, so full partitions at the
+        # 1M-round design point stay uncoalesced and the exchange-free
+        # iteration joins are preserved.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
