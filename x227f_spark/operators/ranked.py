@@ -55,6 +55,7 @@ def global_row_number(
     persist: Callable[[DataFrame], DataFrame] | None = None,
     return_count: bool = False,
     bounds: tuple[int, int] | None = None,
+    lazy_offsets: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = 1-based global row number of ``df`` under the
     total order ``order_by``, without a single-partition window.
@@ -76,6 +77,18 @@ def global_row_number(
     separate boundary-sampling JOB from the stage. Bucket skew (e.g. a
     consumed prefix of the position space) costs balance, never
     correctness: ordinals come from the bucket-wise prefix sum either way.
+
+    ``lazy_offsets=True``: compute the prefix sum as a *plan* instead of
+    a driver roundtrip — the per-bucket counts become a
+    ``num_partitions``-row aggregate, the cumulative shift a window over
+    those few rows (a single tiny task, metadata scale — NOT a data-scale
+    single-partition window), broadcast-joined back. No action runs
+    inside this function at all; the offsets materialize as a broadcast
+    sub-stage of whatever job first consumes the result (the scheduler's
+    lineage cut), saving one blocking job submission + driver roundtrip
+    per call. Incompatible with ``return_count`` (no driver scalar exists
+    until an action runs — callers attach an ``observe()`` to the
+    downstream cut instead).
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -117,6 +130,20 @@ def global_row_number(
                  .withColumn(_LRN, F.row_number().over(w)))
         # cache: the counts job below and the caller's downstream read it
         local = persist(local)
+
+    if lazy_offsets:
+        assert not return_count, "lazy_offsets cannot return a driver count"
+        # bucket sizes + cumulative shift, all lazy: the window runs over
+        # at most num_partitions aggregate rows (one tiny task), and the
+        # broadcast join keeps the data-scale side exchange-free
+        counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt"))
+        w_off = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
+        off_df = counts.select(
+            F.col(_PID),
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias(_OFF))
+        return (local.join(F.broadcast(off_df), _PID)
+                .withColumn(out_col, (F.col(_OFF) + F.col(_LRN)).cast("long"))
+                .drop(_PID, _LRN, _OFF))
 
     # partition sizes → driver prefix sum (num_partitions rows, metadata)
     sizes = {r[_PID]: r["cnt"] for r in

@@ -361,7 +361,8 @@ class CrawlEngine:
         limit_n = max(cfg.queue_cap - queue_len, 0) + 1
         adding = global_row_number(
             cand, [F.desc("score"), F.asc("node_id")], "add_pos",
-            persist=self._persist).where(F.col("add_pos") <= limit_n)
+            persist=self._persist,
+            lazy_offsets=True).where(F.col("add_pos") <= limit_n)
         adding = self._persist(adding)
         add_host = url_host(F.col("cand_url"))
         new_entries = (
@@ -387,24 +388,29 @@ class CrawlEngine:
         t_grn = time.monotonic()
         # queue positions live in [0, max_pos + limit_n] — known driver
         # scalars, so the global rank skips the RangePartitioner's
-        # boundary-sampling job (ranked.global_row_number bounds path)
-        sel, sel_total = global_row_number(sel, ["queue_pos"], "gr",
-                                           persist=self._persist,
-                                           return_count=True,
-                                           bounds=(0, max_pos + limit_n))
+        # boundary-sampling job (ranked.global_row_number bounds path).
+        # lazy_offsets: the admission rank above and this rank used to cost
+        # one blocking bucket-count job EACH per round; with the prefix sum
+        # expressed as a broadcast-joined 64-row plan the lineage cut below
+        # is the sched chain's ONLY action, and n_selected rides on it as
+        # an Observation instead of falling out of a driver prefix sum.
+        sel = global_row_number(sel, ["queue_pos"], "gr",
+                                persist=self._persist,
+                                bounds=(0, max_pos + limit_n),
+                                lazy_offsets=True)
         sel = sel.where(F.col("gr") <= cfg.fetch_cap)
         self._sub("sched.rank", t_grn)
         # lineage cut, not persist: `selected` feeds every downstream stage
         # (fetch, commit, trace); an uncached plan would compound through
-        # the round's self-joins. n_selected falls out of the global-rank
-        # prefix sum — no separate count job.
+        # the round's self-joins.
         t_cut = time.monotonic()
+        sel_obs = Observation()
         selected = self._cut(sel.select(
             "queue_pos", "url", "page_id", "host",
             (F.col("gr") - 1).cast("long").alias("crawl_pos"),
-        ))
+        ).observe(sel_obs, F.count(F.lit(1)).alias("n")))
         self._sub("sched.cut", t_cut)
-        n_selected = min(sel_total, cfg.fetch_cap)
+        n_selected = int(_obs_get(sel_obs, {"n": 0})["n"])
         self._last_round_big = n_selected >= cfg.gc_big_round_urls
         # queue merge delta (O(batch)): tombstones for the scheduled rows,
         # upserts for the new entries minus those scheduled this same round.

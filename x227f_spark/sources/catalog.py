@@ -65,10 +65,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def commit_write_threads() -> int:
+def commit_write_threads(cores: int = 8) -> int:
     """Bounded commit-write pool size (see the concurrency note in
-    ``StateStore.commit``). Read per-commit so tests/benches can flip it."""
-    return int(os.environ.get("X227F_COMMIT_WRITE_THREADS", "4"))
+    ``StateStore.commit``). Read per-commit so tests/benches can flip it.
+
+    Default scales with the session's parallelism: a 1M round stages ~7
+    write jobs, and a fixed pool of 4 serializes them into two waves with
+    a one-job tail wave that idles most of a 16-core box (measured in the
+    r5 scaling legs: write stage speedup 2.37x vs ~3x for the data plane).
+    ``max(4, cores // 2)`` keeps the 4-core behavior identical while
+    letting wider sessions run the whole mix in one wave."""
+    env = int(os.environ.get("X227F_COMMIT_WRITE_THREADS", "0"))
+    return env if env > 0 else max(4, cores // 2)
 
 
 def _dir_bytes(path: str) -> int:
@@ -158,7 +166,14 @@ class StateStore:
         key = self.WRITE_KEYS.get(name)
         if key is None:
             return df
-        n = self.spark.sparkContext.defaultParallelism
+        # 2x cores, not 1x: a write stage of exactly `cores` tasks is a
+        # barrier over the slowest-of-N draw with zero scheduling slack —
+        # on this box the slowest of 16 runs ~40% over median vs ~8% for
+        # the slowest of 4 (BENCH/NOTES.md "Measured machine noise"), which
+        # is why write scaled worst (2.37x) in the r5 legs. Two tasks per
+        # core lets dynamic scheduling absorb the tail, the same sizing
+        # rule the session applies to shuffle.partitions (session.py).
+        n = 2 * self.spark.sparkContext.defaultParallelism
         return df.repartition(n, df[key])
 
     # append tables merge their accumulated delta dirs into one once this
@@ -295,7 +310,8 @@ class StateStore:
         # does not exist at all. A transient failure is still retried
         # once, serially. Set X227F_COMMIT_WRITE_THREADS=1 to force the
         # fully serial round-3 behavior.
-        n_workers = commit_write_threads()
+        n_workers = commit_write_threads(
+            self.spark.sparkContext.defaultParallelism)
         if n_workers > 1 and any(self._has_unloaded_cache(df)
                                  for _n, df, _v in jobs):
             import logging
