@@ -49,3 +49,27 @@ def test_bounds_path_clamps_out_of_range_keys(spark):
     got = global_row_number(df, ["k"], "rn", bounds=(0, 100))
     exp = _expected(df, ["k"])
     assert {r["k"]: r["rn"] for r in got.collect()} == exp
+
+
+@pytest.mark.parametrize("bounds", [None, (0, 10_000)])
+def test_lazy_offsets_matches_window(spark, bounds):
+    """lazy_offsets expresses the prefix sum as a broadcast-joined plan
+    instead of a driver roundtrip — ordinals must match the
+    single-partition window exactly on both the sampled and bounds
+    bucketings, including under gaps/skew."""
+    df = (spark.range(10_000)
+          .select(F.col("id").alias("k"))
+          .where((F.col("k") % 3 != 0) | (F.col("k") < 500)))
+    got = global_row_number(df, ["k"], "rn", bounds=bounds,
+                            lazy_offsets=True)
+    exp = _expected(df, ["k"])
+    assert {r["k"]: r["rn"] for r in got.collect()} == exp
+    # lazy result must not leak the internal bucketing columns
+    assert set(got.columns) == {"k", "rn"}
+
+
+def test_lazy_offsets_rejects_return_count(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(AssertionError):
+        global_row_number(df, ["k"], "rn", lazy_offsets=True,
+                          return_count=True)

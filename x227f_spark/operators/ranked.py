@@ -137,7 +137,12 @@ def global_row_number(
         # at most num_partitions aggregate rows (one tiny task), and the
         # broadcast join keeps the data-scale side exchange-free
         counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt"))
-        w_off = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)
+        # partitionBy(lit(0)) is execution-identical here (all <=
+        # num_partitions aggregate rows land in one task either way) but
+        # marks the single-partition window as deliberate, silencing the
+        # per-round WindowExec warning in bench/driver logs
+        w_off = (W.partitionBy(F.lit(0)).orderBy(_PID)
+                 .rowsBetween(W.unboundedPreceding, -1))
         off_df = counts.select(
             F.col(_PID),
             F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias(_OFF))
