@@ -37,14 +37,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def shingles_col(text):
-    """Distinct 3-word shingles, JVM-side (transform over sequence)."""
-    toks = tokens_col(text)
+def shingles_of_tokens(toks):
+    """Distinct 3-word shingles from a MATERIALIZED token-array column.
+
+    ``toks`` must be a plain column reference, not the ``split`` expression
+    itself: higher-order-function lambdas are interpreted with no common-
+    subexpression elimination, so an embedded ``split`` would re-tokenize
+    the document for every element access (measured r7: 8.4 s → 0.5 s for
+    the sf0.1 shingle pass after materializing the tokens — guide §4.2).
+    ``arrays_zip`` of three shifted slices builds each shingle with O(1)
+    array work per element (no per-index ``element_at`` probing); the
+    produced strings and their order are byte-identical to the round-6
+    ``transform(sequence(...), element_at)`` formulation, so the DuckDB
+    oracle SQL is unchanged.
+    """
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(
-        " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
-        F.element_at(toks, i + 3)))
+    m = F.greatest(n - SHINGLE + 1, F.lit(1))
+    z = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                     F.slice(toks, 3, m))
+    sh = F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
     return F.when(n >= SHINGLE, F.array_distinct(sh)) \
             .otherwise(F.array_distinct(F.array(F.array_join(toks, " "))))
 
@@ -63,8 +74,29 @@ def _doc_shingles(spark, sf_dir) -> DataFrame:
     matches the identical analyzed plan across the jaccard/minhash
     operators, so the shingle stage is computed once per session/sf."""
     docs = _docs(spark, sf_dir)
-    return scoped_persist(docs.select(
-        "doc_id", shingles_col(F.col("text")).alias("shingles")))
+    # A small corpus scans as 1-2 parquet splits (single row group), and a
+    # persisted DataFrame keeps its child's partitioning — so every
+    # downstream compute pass over the cache (the 64 minhash aggregates,
+    # the prefix-join explode) would run on one core (measured r7: the
+    # minhash signature stage was a 5.4 s single task). Spread the cache
+    # across the session's compute width only when the scan is narrower
+    # than the core count; a production-sized input already scans wide and
+    # skips the extra exchange (guide §2.5 input-skew remedy: "repartition
+    # immediately after the read").
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id")
+    toked = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    ds = scoped_persist(toked.select(
+        "doc_id", shingles_of_tokens(F.col("toks")).alias("shingles")))
+    # materialize the cache eagerly: the jaccard query references it from
+    # two CONCURRENT jobs (the dfreq chain and the prefix broadcast
+    # subtree), and two jobs racing to build the same uncached
+    # InMemoryRelation each recompute every partition (duplicate shingle
+    # work + core contention, one winner per block). One tiny count pins
+    # the blocks before the fan-out; later calls see the warm cache.
+    ds.count()
+    return ds
 
 
 # ---------------------------------------------------------------------------
@@ -116,14 +148,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = (exploded.join(dfreq, "s")
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= prefix_len)
-            .select("doc_id", "s"))
+            .select("doc_id", "s", "n"))
     pref = scoped_persist(pref)  # both sides of the candidate self-join
+    pref.count()  # pin before the self-join's two jobs race to build it
+    # AllPairs length filter in the join condition: jaccard >= t implies
+    # |inter| <= min(na, nb) and |union| >= max(na, nb), so min/max >= t
+    # is necessary — pruning size-incompatible pairs BEFORE the distinct
+    # and the array verify can never drop a qualifying pair (r7: cuts the
+    # sf0.1 candidate set 409,103 -> 309,803 with an identical result).
+    size_ok = (F.least(F.col("a.n"), F.col("b.n"))
+               >= F.lit(JACCARD_THRESHOLD)
+               * F.greatest(F.col("a.n"), F.col("b.n")))
     pairs = (pref.alias("a").join(
         pref.alias("b"),
-        (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & size_ok)
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct())
+    # hash-spread the verify stage on doc_a: the candidate pairs are a few
+    # AQE-coalesced partitions of near-zero bytes but the array_intersect
+    # verify is the query's CPU center — repartitioning the skinny id
+    # pairs (guide §8: move the light proxy, attach payloads last) spreads
+    # it across the session's compute width, and at scale this is the very
+    # exchange a non-broadcast verify join would need anyway.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = pairs.repartition(n_part, "doc_a")
     sa = ds.select(F.col("doc_id").alias("doc_a"),
                    F.col("shingles").alias("sh_a"))
     sb = ds.select(F.col("doc_id").alias("doc_b"),
@@ -200,9 +250,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hash functions for one digest, k min-aggs in one groupBy."""
     ds = _doc_shingles(spark, sf_dir)
     ex = ds.select("doc_id", F.explode("shingles").alias("s"))
-    h = F.sha2(F.col("s"), 256)
-    ex = ex.select("doc_id", _hex_int_col(h, 1, 7).alias("h1"),
-                   _hex_int_col(h, 8, 7).alias("h2"))
+    # materialize the digest behind a projection boundary: _hex_int_col
+    # references it 7 times per half, and only codegen'd projections get
+    # subexpression elimination — the interpreted fallback would otherwise
+    # recompute sha2 14x per shingle (guide §4.2 flavor of the same
+    # HOF/CSE pitfall fixed in shingles_of_tokens)
+    ex = ex.select("doc_id", F.sha2(F.col("s"), 256).alias("h"))
+    ex = ex.select("doc_id", _hex_int_col(F.col("h"), 1, 7).alias("h1"),
+                   _hex_int_col(F.col("h"), 8, 7).alias("h2"))
     aggs = [
         F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_P))
         .alias(f"mh{i}")
@@ -225,6 +280,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.select("doc_id", F.explode(bands).alias("bb"))
            .select("doc_id", F.col("bb.band").alias("band"),
                    F.col("bb.bucket").alias("bucket")))
+    # pin the cache before the self-join: its two scans run as concurrent
+    # jobs, and racing jobs each recompute the whole signature chain (the
+    # 64-aggregate pass) while building the same uncached blocks
+    bucketed.count()
     return (bucketed.alias("a").join(
         bucketed.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -342,14 +401,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
     v = (emb.join(assign, "vec_id")
          .select("vec_id", "centroid_id", F.col("embedding").alias("v")))
+    # norms once per row, not per pair (see similarity.ivf_assign) —
+    # identical float product, so the oracle hash is unchanged
+    v = v.select("vec_id", "centroid_id", "v", _norm(F.col("v")).alias("nv"))
     a = v.select(F.col("vec_id").alias("id_a"), "centroid_id",
-                 F.col("v").alias("va"))
+                 F.col("v").alias("va"), F.col("nv").alias("na"))
     b = v.select(F.col("vec_id").alias("id_b"),
-                 F.col("centroid_id").alias("cb"), F.col("v").alias("vb"))
+                 F.col("centroid_id").alias("cb"), F.col("v").alias("vb"),
+                 F.col("nv").alias("nb"))
     pairs = a.join(b, (F.col("centroid_id") == F.col("cb"))
                    & (F.col("id_a") < F.col("id_b")))
     cos = F.round(_dot(F.col("va"), F.col("vb"))
-                  / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+                  / (F.col("na") * F.col("nb")), 6)
     return (pairs.select("id_a", "id_b", cos.alias("cos_sim"))
             .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD))
 

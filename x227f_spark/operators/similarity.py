@@ -48,10 +48,13 @@ def cosine_topk(spark: SparkSession, sf_dir: str,
               if query_ids is not None else F.col("vec_id") < N_QUERIES)
     q = emb.where(q_pred).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+    q = q.select("query_id", "q", _norm(F.col("q")).alias("nq"))
     c = emb.select(F.col("vec_id").alias("neighbor_id"),
                    F.col("embedding").alias("v"))
+    c = c.select("neighbor_id", "v", _norm(F.col("v")).alias("nv"))
+    # norms once per row, not per pair (see ivf_assign) — identical floats
     cos = F.round(_dot(F.col("q"), F.col("v"))
-                  / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
+                  / (F.col("nq") * F.col("nv")), 6)
     scored = (F.broadcast(q).crossJoin(c)
               .where(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id", cos.alias("cos_sim")))
@@ -105,19 +108,47 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engine-independent (the synthetic embeddings are i.i.d., so a
     vec_id prefix IS a uniform sample); a real pipeline would plug k-means
     output in here. The oracle computes the same K via a scalar subquery."""
+    from .qcache import scoped_persist
+
     emb = _emb(spark, sf_dir)
     k = n_centroids(emb.count())
+    # norms behind projection boundaries: computed once per centroid (K)
+    # and once per vector (n) instead of once per PAIR (n*K) — the
+    # higher-order-function norm is interpreted per evaluation, so the
+    # r6 shape paid ~2/3 of the crossJoin stage re-deriving norms. The
+    # product ncv*nv multiplies the identical float values, so the
+    # rounded sim (and the oracle hash) is unchanged.
     cent = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
+    cent = cent.select("centroid_id", "cv",
+                       _norm(F.col("cv")).alias("ncv"))
     v = emb.select("vec_id", F.col("embedding").alias("v"))
+    # small corpora scan as one parquet split; spread the n x K dot-product
+    # compute across the session's cores (production-sized inputs already
+    # scan wide and skip this — same rationale as dedup._doc_shingles)
+    if v.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        v = v.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id")
+    v = v.select("vec_id", "v", _norm(F.col("v")).alias("nv"))
     cos = F.round(_dot(F.col("cv"), F.col("v"))
-                  / (_norm(F.col("cv")) * _norm(F.col("v"))), 6)
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    return (v.crossJoin(F.broadcast(cent))
+                  / (F.col("ncv") * F.col("nv")), 6)
+    # argmax as a partial-aggregating groupBy instead of a window: the
+    # map side reduces n*K pair rows to n before the exchange (guide
+    # §2.3 "aggregate before you shuffle") and no sort is needed. Struct
+    # ordering = (sim, -centroid_id) max ≡ row_number over (sim DESC,
+    # centroid_id ASC) = 1 — the same argmax with the same tie-break.
+    best = (v.crossJoin(F.broadcast(cent))
             .select("vec_id", "centroid_id", cos.alias("sim"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "centroid_id", "sim"))
+            .groupBy("vec_id")
+            .agg(F.max(F.struct(
+                F.col("sim"), (-F.col("centroid_id")).alias("neg"))).alias("b"))
+            .select("vec_id", (-F.col("b.neg")).alias("centroid_id"),
+                    F.col("b.sim").alias("sim")))
+    # persisted through the harness scope: ann_ivf_bucket_stats and
+    # dedup_embedding_cosine reuse the assignment via Spark's cache-plan
+    # matching instead of re-running the crossJoin per query (released by
+    # release_caches() with the rest of the suite's intermediates)
+    return scoped_persist(best)
 
 
 def ivf_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,8 +503,10 @@ def ann_query_multiprobe(spark: SparkSession, sf_dir: str,
         "query_id long, q array<double>")
     v = idx.emb.select(F.col("vec_id").alias("neighbor_id"),
                        F.col("embedding").alias("v"))
+    v = v.select("neighbor_id", "v", _norm(F.col("v")).alias("nv"))
+    # norms once per row, not per pair (see ivf_assign) — identical floats
     cos = F.round(_dot(F.col("q"), F.col("v"))
-                  / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
+                  / (_norm(F.col("q")) * F.col("nv")), 6)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
                                           F.asc("neighbor_id"))
     result = (cand.join(F.broadcast(q), "query_id").join(v, "neighbor_id")
