@@ -96,16 +96,22 @@ def test_fold_pool_rejects_same_table_in_two_jobs(spark, tmp_path):
     both modes; the round whose compaction AND fold both target it must
     fail loudly instead of racing."""
     store = StateStore(spark, str(tmp_path / "stf"))
+    # drop the fold-size floor so KB-sized deltas absorb every round, the
+    # regime this race test needs (production keeps the r7 floor)
+    os.environ["X227F_MIN_FOLD_BYTES"] = "0"
+    try:
+        def df(r):
+            return spark.createDataFrame(
+                [(r, f"k{r}")], "round int, key string")
 
-    def df(r):
-        return spark.createDataFrame([(r, f"k{r}")], "round int, key string")
-
-    with pytest.raises(AssertionError, match="unique table names"):
-        # merge deltas fold every round here (delta size ≈ base size), so
-        # the commit that crosses COMPACT_AT appends schedules both jobs
-        for r in range(1, StateStore.COMPACT_AT + 2):
-            store.commit(r, {}, {"t": df(r)},
-                         merge={"t": MergeDelta(df(r), ["key"])})
+        with pytest.raises(AssertionError, match="unique table names"):
+            # merge deltas fold every round here (delta size ≈ base size),
+            # so the commit crossing COMPACT_AT appends schedules both jobs
+            for r in range(1, StateStore.COMPACT_AT + 2):
+                store.commit(r, {}, {"t": df(r)},
+                             merge={"t": MergeDelta(df(r), ["key"])})
+    finally:
+        del os.environ["X227F_MIN_FOLD_BYTES"]
 
 
 def test_commit_falls_back_to_serial_on_unmaterialized_cache(

@@ -70,6 +70,6 @@ def test_lazy_offsets_matches_window(spark, bounds):
 
 def test_lazy_offsets_rejects_return_count(spark):
     df = spark.range(10).select(F.col("id").alias("k"))
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         global_row_number(df, ["k"], "rn", lazy_offsets=True,
                           return_count=True)

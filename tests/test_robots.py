@@ -51,3 +51,37 @@ def test_engine_matches_model_with_robots(spark, corpus, corpus_dir, cfg,
         (t.round, t.seq, t.page_id, t.host, t.action) for t in golden.trace]
     assert eng.seen_set() == golden.seen_set()
     assert eng.page_spans() == golden.page_spans()
+
+
+def test_host_budget_column_matches_python(spark):
+    """r7: the scheduler's politeness budget moved from a pandas UDF to a
+    literal Column expression — pin exact equivalence with
+    EngineConfig.host_budget across the tricky cases (robots rule order, a
+    matched rule without a delay override, recursive host shortening with
+    nested keys, 1-label keys matching only exactly, zero-delay =
+    fetch_cap, empty host)."""
+    from types import SimpleNamespace
+
+    from pyspark.sql import functions as F
+
+    cfg = EngineConfig(
+        host_crawl_delays={"jcink.net": 10, "web.archive.org": 10,
+                           "neocities.org": 1, "org": 7,
+                           "slow.example.com": 0, "archive.org": 4},
+        robots=(RobotsRule("robot.test", crawl_delay_sec=5),
+                RobotsRule("nodelay.test"),
+                RobotsRule("nodelay.test", crawl_delay_sec=3)),
+    )
+    hosts = ["a.jcink.net", "jcink.net", "x.web.archive.org",
+             "web.archive.org", "archive.org", "sub.archive.org",
+             "foo.neocities.org", "x.org", "org", "a.b.org",
+             "robot.test", "sub.robot.test", "nodelay.test",
+             "q.nodelay.test", "plain.com", "", "x.slow.example.com",
+             "a.jcink.net.neocities.org"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    eng = SimpleNamespace(cfg=cfg)
+    col = CrawlEngine._host_budget_col(eng, F.col("host"))
+    got = {r["host"]: r["b"]
+           for r in df.select("host", col.alias("b")).collect()}
+    exp = {h: cfg.host_budget(h or "") for h in hosts}
+    assert got == exp

@@ -89,6 +89,13 @@ def global_row_number(
     per call. Incompatible with ``return_count`` (no driver scalar exists
     until an action runs — callers attach an ``observe()`` to the
     downstream cut instead).
+
+    Deadline note (r6 ADVICE): the lazy path materializes the bucket-count
+    aggregation (and, on first use, its whole upstream plan) inside a
+    broadcast exchange, so it must finish within
+    ``spark.sql.broadcastTimeout`` — the engine session raises the
+    default (session.py) because a slow counts job under the eager path
+    was merely a slow round, not a TimeoutException.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -131,8 +138,11 @@ def global_row_number(
         # cache: the counts job below and the caller's downstream read it
         local = persist(local)
 
+    if lazy_offsets and return_count:
+        # ValueError, not assert: the API contract must survive python -O
+        raise ValueError("lazy_offsets cannot return a driver count — "
+                         "attach an observe() to the downstream action")
     if lazy_offsets:
-        assert not return_count, "lazy_offsets cannot return a driver count"
         # bucket sizes + cumulative shift, all lazy: the window runs over
         # at most num_partitions aggregate rows (one tiny task), and the
         # broadcast join keeps the data-scale side exchange-free

@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window as W
 
 from ..operators.ranked import global_row_number
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from ..constants import EngineConfig
 from ..model import VIRTUAL_EPOCH
@@ -45,9 +44,7 @@ from ..functions.urlnorm import (
     page_id_udf,
     url_host,
 )
-from ..urlutil import Url, hosts_list_contains, page_id_of
-
-import pandas as pd
+from ..urlutil import Url, page_id_of
 
 SCHEMAS = {
     "pages": ("page_id string, url string, last_visited timestamp, failed int, "
@@ -147,13 +144,6 @@ class CrawlEngine:
             .repartition(n_part, "url").localCheckpoint(eager=True)
         )
         self._extract_udf = fetch_ops.make_extract_udf(self.cfg)
-        cfg = self.cfg
-
-        @pandas_udf("int")
-        def host_budget_udf(hosts: pd.Series) -> pd.Series:
-            return hosts.map(lambda h: cfg.host_budget(h or ""))
-
-        self._host_budget_udf = host_budget_udf
         self._round_persists = []
         self._round_cuts = []
         # per-stage seconds of the last round (diagnostics; also returned by
@@ -237,6 +227,48 @@ class CrawlEngine:
             for p in rule.disallow_prefixes:
                 blocked = blocked | (matches & path_col.startswith(p))
         return ~blocked
+
+    def _host_budget_col(self, host_col):
+        """``cfg.host_budget`` expanded to a literal Column expression (the
+        robots table and crawl-delay dict are run-scoped constants) — the
+        r6 pandas UDF was the scheduler chain's only Python boundary
+        (guide §4.1: prefer built-ins). Exact replication of
+        ``EngineConfig.delay_for_host``:
+
+        - robots rules are consulted in tuple order and the FIRST matching
+          rule decides; a matched rule with ``crawl_delay_sec=None`` falls
+          through to the dict exactly like no match (both fold to NULL in
+          the when-chain, which is precisely the reference behavior);
+        - the crawl-delay dict is matched under recursive host shortening,
+          i.e. suffix match on label boundaries with the longest key
+          winning; keys with fewer than 2 labels can only match exactly
+          (the shortening loop never tests suffixes below 2 labels).
+        """
+        cfg = self.cfg
+        # dict chain, shortest key folded innermost so the longest
+        # matching suffix decides (the shortening loop's first hit)
+        delay = F.lit(cfg.default_crawl_delay)
+        for k in sorted(cfg.host_crawl_delays,
+                        key=lambda s: len(s.split("."))):
+            cond = host_col == k
+            if len(k.split(".")) >= 2:
+                cond = cond | host_col.endswith("." + k)
+            delay = F.when(cond, F.lit(cfg.host_crawl_delays[k])) \
+                     .otherwise(delay)
+        # robots rules outrank the dict; later rules folded first so the
+        # tuple's first match ends outermost. NULL (no rule matched, or
+        # matched with no crawl_delay override) falls to the dict chain.
+        rule_delay = F.lit(None).cast("int")
+        for rule in reversed(cfg.robots):
+            cond = (host_col == rule.host) \
+                | host_col.endswith("." + rule.host)
+            rule_delay = F.when(
+                cond, F.lit(rule.crawl_delay_sec).cast("int")) \
+                .otherwise(rule_delay)
+        delay = F.coalesce(rule_delay, delay)
+        return F.when(delay <= 0, F.lit(cfg.fetch_cap)).otherwise(
+            F.greatest(F.floor(F.lit(cfg.round_seconds) / delay)
+                       .cast("int"), F.lit(1)))
 
     def _no_follow_col(self, host_col):
         cond = hosts_list_contains_col(host_col, self.cfg.no_follow_hosts)
@@ -381,7 +413,7 @@ class CrawlEngine:
         # ---- schedule: T3 + P1 (data.rs:418-439, ratelimiter.rs) ----------
         w_host = W.partitionBy("host").orderBy("queue_pos")
         sel = (
-            queue2.withColumn("budget", self._host_budget_udf(F.col("host")))
+            queue2.withColumn("budget", self._host_budget_col(F.col("host")))
             .withColumn("hr", F.row_number().over(w_host))
             .where(F.col("hr") <= F.col("budget"))
         )
@@ -410,7 +442,13 @@ class CrawlEngine:
             (F.col("gr") - 1).cast("long").alias("crawl_pos"),
         ).observe(sel_obs, F.count(F.lit(1)).alias("n")))
         self._sub("sched.cut", t_cut)
-        n_selected = int(_obs_get(sel_obs, {"n": 0})["n"])
+        # r6 ADVICE (medium): on an Observation fallback recover the exact
+        # value from the eager checkpoint — a cheap scan of materialized
+        # blocks — instead of defaulting to 0, which would take the
+        # empty-round path while queue_delta still tombstones `selected`'s
+        # queue_pos rows (scheduled URLs silently dropped).
+        sel_n = _obs_get(sel_obs, {"n": None})["n"]
+        n_selected = int(sel_n) if sel_n is not None else selected.count()
         self._last_round_big = n_selected >= cfg.gc_big_round_urls
         # queue merge delta (O(batch)): tombstones for the scheduled rows,
         # upserts for the new entries minus those scheduled this same round.
@@ -459,7 +497,7 @@ class CrawlEngine:
 
         # ---- fetch + extract (operators/fetch.py) --------------------------
         fetched, errors, btns, media_new, fetched_n = \
-            self._fetch(selected, cache, now)
+            self._fetch(selected, cache, now, n_selected)
         _mark("fetch")
 
         # ---- commit ---------------------------------------------------------
@@ -573,7 +611,8 @@ class CrawlEngine:
                 "max_pos": self._max_pos}
 
     # ------------------------------------------------------------------
-    def _fetch(self, selected: DataFrame, cache: DataFrame, now):
+    def _fetch(self, selected: DataFrame, cache: DataFrame, now,
+               n_selected: int):
         """Fetch+extract the selected URLs. Returns (fetched_pages DF,
         error rows DF, kept-buttons DF)."""
         cfg = self.cfg
@@ -638,12 +677,16 @@ class CrawlEngine:
         page_rows = f2.where(F.col("subkind") != "error")
 
         # extraction over salted host partitions (skew: SURVEY §4 item 2);
-        # partition count follows the session (4x cores) so the stage stays
-        # over-decomposed at any cluster size
+        # partition count follows the session so the stage stays
+        # over-decomposed at any cluster size, but is CAPPED by the batch
+        # size: a pandas-UDF task under ~200 rows pays more in Arrow/worker
+        # round-trip than it computes (guide §4.2 batch sizing), and at the
+        # 1M design point n_selected/200 >> n_part so the cap never binds.
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        n_ext = max(1, min(n_part, -(-n_selected // 200)))
         html = page_rows.where(F.col("subkind") == "html")
         html = html.repartition(
-            n_part, F.col("host"), F.pmod(F.xxhash64("url"), F.lit(8)))
+            n_ext, F.col("host"), F.pmod(F.xxhash64("url"), F.lit(8)))
         ext = html.withColumn(
             "ext", self._extract_udf(F.col("spans"), F.col("res_url"))
         ).select("crawl_pos",
@@ -701,7 +744,7 @@ class CrawlEngine:
         self._sub("fetch.cand", t_cand)
         t_btns = time.monotonic()
         btns = self._cut(fetch_ops.budget_pass(
-            cand.drop("requesting"), n_part))
+            cand.drop("requesting"), n_ext))
         self._sub("fetch.btns", t_btns)
         # S8 — content-addressed media sink. Candidate rows carry no image
         # bytes (millions of rows repeat a few thousand distinct buttons, so
@@ -900,25 +943,34 @@ class CrawlEngine:
         seen_first = (new_pids.withColumn("rn", F.row_number().over(w_first))
                       .where(F.col("rn") == 1))
         t_nodeid = time.monotonic()
-        ranked_new, n_new = global_row_number(
+        # lazy offsets + an Observation on the checkpoint: node-id
+        # assignment costs exactly ONE action (the cut) instead of the r6
+        # blocking bucket-count job followed by a separate checkpoint job.
+        # The r6 n_new==0 fast path skipped the cut; the single action on
+        # an empty relation costs about what the old count job did, and
+        # growth rounds save a whole job submission.
+        ranked_new = global_row_number(
             seen_first, ["crawl_pos", "link_class", "link_ord"],
-            "assign_rn", persist=self._persist, return_count=True)
+            "assign_rn", persist=self._persist, lazy_offsets=True)
+        sn_obs = Observation()
+        seen_new = self._cut(
+            ranked_new
+            .withColumn("node_id", F.lit(max_id) + F.col("assign_rn"))
+            .select("page_id", "node_id",
+                    F.lit(r).alias("first_seen_round"))
+            .observe(sn_obs, F.count(F.lit(1)).alias("n"))
+        )
+        # fallback recovery mirrors sel_obs: never assume 0 — a spurious 0
+        # would drop this round's seen delta (node ids lost for good)
+        sn_n = _obs_get(sn_obs, {"n": None})["n"]
+        n_new = int(sn_n) if sn_n is not None else seen_new.count()
         self._sub("plan.nodeid", t_nodeid)
         if n_new == 0:
             # recrawl-heavy steady state: no new pages most rounds — skip
-            # the checkpoint job and the empty seen delta entirely (the
-            # count is already known from the global-rank prefix sum)
+            # the empty seen delta entirely
             seen_new = self.spark.createDataFrame([], SCHEMAS["seen"])
             seen_all = seen
         else:
-            t_sncut = time.monotonic()
-            seen_new = self._cut(
-                ranked_new
-                .withColumn("node_id", F.lit(max_id) + F.col("assign_rn"))
-                .select("page_id", "node_id",
-                        F.lit(r).alias("first_seen_round"))
-            )
-            self._sub("plan.seen_cut", t_sncut)
             # deliberately NOT persisted: seen_all is referenced only by the
             # commit-pool write jobs (edges + discovered deltas), and a lazy
             # shared cache materialized by two concurrent writes is exactly

@@ -49,6 +49,12 @@ def get_spark(cores: int | None = None, shuffle_partitions: int | None = None,
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
                 "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the scheduler's lazy prefix-sum offsets (ranked.lazy_offsets)
+        # materialize a data-scale aggregation inside a broadcast
+        # exchange; at 10^10-frontier round sizes the default 300 s
+        # deadline would turn a slow counts job into a hard timeout
+        # (r6 ADVICE) — give it the same headroom as a slow round
+        .config("spark.sql.broadcastTimeout", "1800")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", driver_memory or "24g")

@@ -74,9 +74,15 @@ def commit_write_threads(cores: int = 8) -> int:
     a one-job tail wave that idles most of a 16-core box (measured in the
     r5 scaling legs: write stage speedup 2.37x vs ~3x for the data plane).
     ``max(4, cores // 2)`` keeps the 4-core behavior identical while
-    letting wider sessions run the whole mix in one wave."""
-    env = int(os.environ.get("X227F_COMMIT_WRITE_THREADS", "0"))
-    return env if env > 0 else max(4, cores // 2)
+    letting wider sessions run the whole mix in one wave.
+
+    An explicitly set env value wins outright; values <= 1 mean fully
+    serial writes (r6 ADVICE: the old ``env if env > 0`` silently turned
+    the 0 opt-out into the computed parallel pool)."""
+    env = os.environ.get("X227F_COMMIT_WRITE_THREADS")
+    if env is not None:
+        return max(int(env), 1)
+    return max(4, cores // 2)
 
 
 def _dir_bytes(path: str) -> int:
@@ -114,6 +120,10 @@ class StateStore:
         os.makedirs(os.path.join(root, "checkpoints"), exist_ok=True)
         self._cow: dict[str, int] = {}
         self._append: dict[str, list[int]] = {}
+        # per-table bytes of the most recent write — feeds the adaptive
+        # write-spread sizing (driver-side fs metadata; not persisted: the
+        # first write after a resume just uses the full spread once)
+        self._last_write_bytes: dict[str, int] = {}
         # name -> {"base": int|None, "deltas": [int...], "keys": [col...]}
         self._merge: dict[str, dict] = {}
         self.round = 0
@@ -162,7 +172,17 @@ class StateStore:
         "button_cache": "url", "media": "media_ref", "trace": "seq",
     }
 
-    def _spread(self, name: str, df: DataFrame) -> DataFrame:
+    # target bytes per written file/partition when sizing the write spread
+    # from the table's last observed write (guide §6 output sizing, scaled
+    # down to the per-round delta regime: a 1M-design-point delta of
+    # 100-300 MB still fans out to the full 2x-cores spread, while a
+    # KB-sized bench delta stops paying 64 write tasks + 64-file dirs per
+    # table per round). Env-overridable for clusters with different I/O.
+    WRITE_TARGET_BYTES = int(os.environ.get(
+        "X227F_WRITE_SPREAD_TARGET_BYTES", str(4 * 1024 * 1024)))
+
+    def _spread(self, name: str, df: DataFrame,
+                bytes_hint: int | None = None) -> DataFrame:
         key = self.WRITE_KEYS.get(name)
         if key is None:
             return df
@@ -174,6 +194,17 @@ class StateStore:
         # core lets dynamic scheduling absorb the tail, the same sizing
         # rule the session applies to shuffle.partitions (session.py).
         n = 2 * self.spark.sparkContext.defaultParallelism
+        # size-adapt: the table's last written size (or the caller's hint,
+        # for folds) bounds how many useful write tasks exist. A table
+        # seen at B bytes gets ceil(B / WRITE_TARGET_BYTES) partitions,
+        # capped at the 2x-cores spread — big deltas keep the full r6
+        # write parallelism, small ones stop burning a 64-task barrier
+        # per table per round. First-ever writes (no history) use the
+        # full spread; the estimate self-corrects on the next round.
+        est = bytes_hint if bytes_hint is not None \
+            else self._last_write_bytes.get(name)
+        if est is not None:
+            n = max(1, min(n, -(-int(est) // self.WRITE_TARGET_BYTES)))
         return df.repartition(n, df[key])
 
     # append tables merge their accumulated delta dirs into one once this
@@ -280,8 +311,11 @@ class StateStore:
 
         def _write(job):
             name, df, v = job
-            self._spread(name, df).write.mode("overwrite").parquet(
-                self._table_path(name, v))
+            path = self._table_path(name, v)
+            self._spread(name, df).write.mode("overwrite").parquet(path)
+            # dict assignment is atomic under the GIL; pool threads write
+            # disjoint names except on retry, where last-wins is fine
+            self._last_write_bytes[name] = _dir_bytes(path)
 
         def _try_write(job):
             try:
@@ -362,11 +396,13 @@ class StateStore:
                 continue
 
             def _compact(name=name, versions=versions):
-                merged = self.spark.read.parquet(
-                    *[self._table_path(name, v) for v in versions])
+                paths = [self._table_path(name, v) for v in versions]
+                merged = self.spark.read.parquet(*paths)
                 v = max(versions) + 1
-                self._spread(name, merged).write.mode("overwrite").parquet(
-                    self._table_path(name, v))
+                hint = sum(_dir_bytes(p) for p in paths)
+                self._spread(name, merged, bytes_hint=hint) \
+                    .write.mode("overwrite").parquet(
+                        self._table_path(name, v))
 
                 def apply():
                     doomed_deltas.extend(self._table_path(name, x)
@@ -391,20 +427,33 @@ class StateStore:
         # ≤3x batch. Extreme-churn rounds (batch ≈ state) fold every
         # round: one delta + one full write, the LSM equivalent of the
         # old copy-on-write cost.
+        # Size floor on the absorb criterion: at sandbox/bench scale every
+        # table's base is tiny, so "deltas reached half the base" fired
+        # every round and each round paid a full-table rewrite of EVERY
+        # merge table (r7 baseline: write.folds ~1.5 s of each ~19 s bench
+        # round — pure write amplification for KB-sized state). Below the
+        # floor, deltas simply stack (reads take a few more broadcast
+        # anti-joins, bounded by MERGE_STACK_MAX); at any real state size
+        # the 0.5x-base criterion dominates and behavior is unchanged.
+        min_fold = int(os.environ.get("X227F_MIN_FOLD_BYTES",
+                                      str(32 * 1024 * 1024)))
         for name, ent in list(new_merge.items()):
             dsum = sum(ent.get("delta_bytes") or [])
             if not ent["deltas"]:
                 continue
             if not (ent["base"] is None
                     or len(ent["deltas"]) >= self.MERGE_STACK_MAX
-                    or dsum >= 0.5 * ent.get("base_bytes", 0)):
+                    or dsum >= max(0.5 * ent.get("base_bytes", 0),
+                                   min_fold)):
                 continue
 
-            def _fold(name=name, ent=ent):
+            def _fold(name=name, ent=ent, dsum=dsum):
                 merged = self._merge_view(name, ent)
                 v = _next_v(name)
-                self._spread(name, merged).write.mode("overwrite").parquet(
-                    self._table_path(name, v))
+                hint = ent.get("base_bytes", 0) + dsum
+                self._spread(name, merged, bytes_hint=hint) \
+                    .write.mode("overwrite").parquet(
+                        self._table_path(name, v))
 
                 def apply():
                     if ent["base"] is not None:
