@@ -13,7 +13,7 @@ output so the value-hash comparison is stable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Fixed marker-word profiles for the language-ID heuristic. The driver corpus
@@ -100,11 +100,15 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.explode(tokens_col(F.col("text"))).alias("tok"))
     hits = (tok.join(F.broadcast(profile), tok["tok"] == profile["marker"])
             .groupBy("doc_id", "cand_lang").agg(F.count("*").alias("hits")))
-    w = W.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
-    best = (hits.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("doc_id", F.col("cand_lang").alias("predicted_lang"),
-                    "hits"))
+    # argmax as a partial-aggregating groupBy instead of a window sort:
+    # min(struct(-hits, cand_lang)) ≡ row_number over (hits DESC,
+    # cand_lang ASC) = 1 — same winner, same tie-break, map-side reduced
+    # before the exchange (guide §2.3)
+    best = (hits.groupBy("doc_id")
+            .agg(F.min(F.struct((-F.col("hits")).alias("nh"),
+                                F.col("cand_lang"))).alias("b"))
+            .select("doc_id", F.col("b.cand_lang").alias("predicted_lang"),
+                    (-F.col("b.nh")).alias("hits")))
     return (docs.select("doc_id").join(best, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("predicted_lang", F.lit("und"))

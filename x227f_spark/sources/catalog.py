@@ -221,6 +221,11 @@ class StateStore:
     # (an absorb every 8 rounds would re-introduce O(state/8) per round)
     MERGE_STACK_MAX = 24
 
+    # stack cap for tables whose whole size is below the fold floor: their
+    # folds are trivially cheap, and bounding the stack bounds how many
+    # times the commit plans re-embed the delta union (plan-guard bar)
+    MERGE_STACK_SMALL = 4
+
     def commit(self, round_no: int, overwrite: dict[str, DataFrame],
                append: dict[str, DataFrame] | None = None,
                stats: dict | None = None,
@@ -441,8 +446,16 @@ class StateStore:
             dsum = sum(ent.get("delta_bytes") or [])
             if not ent["deltas"]:
                 continue
+            # sub-floor tables still cap their stack at MERGE_STACK_SMALL:
+            # every committed-plan reference embeds the whole delta union,
+            # so an unbounded small-state stack regrows the round-1 plan
+            # blowup (tests/test_plan_guard.py) — and folding a table this
+            # small is by definition cheap. Big tables never hit this arm.
+            small_cap = ((ent.get("base_bytes", 0) + dsum) < min_fold
+                         and len(ent["deltas"]) >= self.MERGE_STACK_SMALL)
             if not (ent["base"] is None
                     or len(ent["deltas"]) >= self.MERGE_STACK_MAX
+                    or small_cap
                     or dsum >= max(0.5 * ent.get("base_bytes", 0),
                                    min_fold)):
                 continue
@@ -551,27 +564,50 @@ class StateStore:
 
     def _merge_view(self, name: str, ent: dict,
                     schema: str | None = None) -> DataFrame:
-        """Merged (current) view of a merge-on-read table: base with each
-        delta's key groups replaced, oldest delta first. The per-delta key
-        sets are batch-sized parquet reads with size stats, so Catalyst
-        auto-broadcasts the anti-joins — the base is never shuffled (the
-        read stays a map-side filter over the base scan). At 10^10 scale
-        with multi-GB key sets the anti-joins fall back to shuffle joins;
-        the Bloom pre-filter in operators/bloom.py is the documented
-        escape hatch."""
+        """Merged (current) view of a merge-on-read table with
+        replace-key-group semantics: for every key present in any delta,
+        the NEWEST delta containing it decides the key's group (its
+        non-tombstone rows, or nothing if it only tombstones the key);
+        base rows survive only for keys in no delta.
+
+        Shape (r7): deltas are read as one seq-tagged union, the winner
+        picked with a per-key max-seq window over DELTA rows only, and the
+        base filtered with a SINGLE anti-join on the union's key set —
+        instead of the r6 per-delta chain of anti-join+union layers, whose
+        committed-plan text grew ~250 KB per stacked delta (the round-1
+        plan-blowup failure mode, re-exposed once the r7 fold-size floor
+        let stacks deepen; caught by tests/test_plan_guard.py) and whose
+        k chained broadcast filters each touched every base row. The
+        window shuffles only delta rows (batch x stack, never the base);
+        the key-set anti-join auto-broadcasts while small, and at 10^10
+        scale with multi-GB key sets falls back to a shuffle join — the
+        Bloom pre-filter in operators/bloom.py is the documented escape
+        hatch."""
+        from pyspark.sql import Window as W
+
         keys = ent["keys"]
-        cur = (self._read_parquet(self._table_path(name, ent["base"]), schema)
-               if ent["base"] is not None else None)
-        for v in ent["deltas"]:
-            d = self._read_parquet(self._table_path(name, v), schema,
-                                   with_ts=True)
-            rows = d.where(~F.col("_ts")).drop("_ts")
-            if cur is None:
-                cur = rows
-            else:
-                dkeys = d.select(*keys).distinct()
-                cur = cur.join(dkeys, keys, "left_anti").unionByName(rows)
-        return cur
+        base = (self._read_parquet(self._table_path(name, ent["base"]), schema)
+                if ent["base"] is not None else None)
+        if not ent["deltas"]:
+            return base
+        parts = [
+            self._read_parquet(self._table_path(name, v), schema,
+                               with_ts=True).withColumn("__mor_seq",
+                                                        F.lit(i))
+            for i, v in enumerate(ent["deltas"])
+        ]
+        alld = parts[0]
+        for p in parts[1:]:
+            alld = alld.unionByName(p)
+        w = W.partitionBy(*keys)
+        newest = (alld.withColumn("__mor_mx", F.max("__mor_seq").over(w))
+                  .where(F.col("__mor_seq") == F.col("__mor_mx")))
+        rows = newest.where(~F.col("_ts")).drop("_ts", "__mor_seq",
+                                                "__mor_mx")
+        if base is None:
+            return rows
+        dkeys = alld.select(*keys).distinct()
+        return base.join(dkeys, keys, "left_anti").unionByName(rows)
 
     def _gc_old_versions(self, old_cow: dict[str, int],
                          new_cow: dict[str, int], keep: int = 2) -> None:
